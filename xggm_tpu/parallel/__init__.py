@@ -1,0 +1,3 @@
+from xggm_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, batch_sharding, host_to_device,
+)

@@ -1,0 +1,185 @@
+"""Jitted train/eval steps for the X-GGM trainers.
+
+Structure mirrors the reference batch loop (SURVEY.md §3.1-3.2,
+reference src/gqa/gqa_ood.py:151-289 / src/vqa/vqacpv2.py:151-254):
+
+  per batch:  [GGM phase] one of two branches, chosen on HOST by
+              randint(1,10) <= delta       -> backward -> clip 5.0 -> step
+              [CLEAN phase] plain BCE      -> backward -> clip 5.0 -> step
+
+i.e. TWO optimizer steps per batch with a shared schedule counter (which is
+why t_total = 2x the batch count). The host-side branch draw selects between
+two separately-compiled step functions - no data-dependent control flow ever
+enters the traced graph.
+
+GQA runs GGM-then-clean, VQA-CP runs clean-then-GGM
+(cfg.clean_phase_first); the loss multipliers differ per task (TrainConfig).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from xggm_tpu.config import TrainConfig
+from xggm_tpu.models.task_model import XGGMModel, PlainModel
+from xggm_tpu.ops.losses import bce_with_logits, symmetric_kl, score_matching_loss
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+def _clip_update_apply(tx, grads, state: TrainState, clip: float) -> TrainState:
+    """External global-norm clip (reference gqa_ood.py:230: clip_grad_norm 5.0)
+    then one optimizer step."""
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+    grads = jax.tree.map(lambda g: g * scale, grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state)
+
+
+def _batch_args(batch: Dict[str, Array]) -> Tuple[Array, ...]:
+    return (batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+            batch["feats"], batch["boxes"])
+
+
+def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
+                        branch: str) -> Callable:
+    """Build one fused (GGM phase + clean phase) train step for `branch` in
+    {'relation', 'representation'}."""
+    assert branch in ("relation", "representation")
+    num_ans = model.num_answers
+    sigma = model.ggm.sigma
+
+    def ggm_loss(params, batch, dropout_key, noise_key):
+        if branch == "relation":
+            logits, adj_gen, grad_log, adj_true = model.apply(
+                params, *_batch_args(batch), batch["adj"], noise_key,
+                deterministic=False, rngs={"dropout": dropout_key},
+                method=XGGMModel.relation_branch)
+            # reference gqa_ood.py:192-197 / vqacpv2.py:208-212
+            d_loss = symmetric_kl(adj_gen, adj_true) * num_ans
+            loss_grad = score_matching_loss(adj_gen, grad_log, sigma)
+            loss_sm = cfg.rel_d_mult * d_loss + loss_grad
+            sm_mult = cfg.rel_sm_mult
+        else:
+            logits, node_gen, feat_grad, visn = model.apply(
+                params, *_batch_args(batch), batch["adj"], noise_key,
+                deterministic=False, rngs={"dropout": dropout_key},
+                method=XGGMModel.representation_branch)
+            # reference gqa_ood.py:241-246
+            d_loss = symmetric_kl(node_gen, visn) * num_ans
+            loss_grad = score_matching_loss(node_gen, feat_grad, sigma)
+            loss_sm = cfg.rep_d_mult * d_loss + cfg.rep_grad_mult * loss_grad
+            sm_mult = cfg.rep_sm_mult
+        bce = bce_with_logits(logits, batch["target"]) * num_ans
+        loss = bce + sm_mult * loss_sm
+        return loss, {"ggm_bce": bce, "d_loss": d_loss,
+                      "loss_grad": loss_grad, "loss_sm": loss_sm}
+
+    def clean_loss(params, batch, dropout_key):
+        logits = model.apply(
+            params, *_batch_args(batch), deterministic=False,
+            rngs={"dropout": dropout_key}, method=XGGMModel.clean_forward)
+        loss = bce_with_logits(logits, batch["target"]) * num_ans
+        return loss, logits
+
+    def ggm_phase(state, batch, key):
+        dk, nk = jax.random.split(key)
+        (loss, aux), grads = jax.value_and_grad(ggm_loss, has_aux=True)(
+            state.params, batch, dk, nk)
+        state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
+        aux["ggm_loss"] = loss
+        return state, aux
+
+    def clean_phase(state, batch, key):
+        (loss, logits), grads = jax.value_and_grad(clean_loss, has_aux=True)(
+            state.params, batch, key)
+        state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
+        return state, {"clean_loss": loss,
+                       "preds": jnp.argmax(logits, axis=-1)}
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, Array], key: Array):
+        kg, kc = jax.random.split(key)
+        metrics: Dict[str, Array] = {}
+        if cfg.clean_phase_first:  # VQA-CP ordering (vqacpv2.py:170-254)
+            state, m2 = clean_phase(state, batch, kc)
+            state, m1 = ggm_phase(state, batch, kg)
+        else:  # GQA ordering (gqa_ood.py:172-289)
+            state, m1 = ggm_phase(state, batch, kg)
+            state, m2 = clean_phase(state, batch, kc)
+        metrics.update(m1)
+        metrics.update(m2)
+        return state, metrics
+
+    return step
+
+
+def make_clean_train_step(model, tx, cfg: TrainConfig,
+                          num_answers: int) -> Callable:
+    """Plain BCE fine-tuning step (reference src/vqa/vqacpv2_baseline.py:
+    152-240): one forward, one optimizer step per batch."""
+
+    def loss_fn(params, batch, dropout_key):
+        if isinstance(model, XGGMModel):
+            logits = model.apply(
+                params, *_batch_args(batch), deterministic=False,
+                rngs={"dropout": dropout_key}, method=XGGMModel.clean_forward)
+        else:
+            logits = model.apply(
+                params, *_batch_args(batch), deterministic=False,
+                rngs={"dropout": dropout_key})
+        loss = bce_with_logits(logits, batch["target"]) * num_answers
+        return loss, logits
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, Array], key: Array):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
+        return state, {"clean_loss": loss,
+                       "preds": jnp.argmax(logits, axis=-1)}
+
+    return step
+
+
+def make_eval_step(model) -> Callable:
+    """No-grad prediction: encoder + answer head only - the GGM branch is
+    entirely absent at inference (reference gqa_ood.py:379-403)."""
+
+    @jax.jit
+    def step(params, batch: Dict[str, Array]) -> Array:
+        if isinstance(model, XGGMModel):
+            logits = model.apply(params, *_batch_args(batch),
+                                 deterministic=True,
+                                 method=XGGMModel.clean_forward)
+        else:
+            logits = model.apply(params, *_batch_args(batch),
+                                 deterministic=True)
+        return jnp.argmax(logits, axis=-1)
+
+    return step
+
+
+def make_logits_step(model) -> Callable:
+    """Full logits (for parity tests / score dumps)."""
+
+    @jax.jit
+    def step(params, batch: Dict[str, Array]) -> Array:
+        if isinstance(model, XGGMModel):
+            return model.apply(params, *_batch_args(batch),
+                               deterministic=True,
+                               method=XGGMModel.clean_forward)
+        return model.apply(params, *_batch_args(batch), deterministic=True)
+
+    return step
