@@ -1,0 +1,111 @@
+"""Data layer: synthetic corpora in reference on-disk format -> datasets,
+feeder, evaluators, tokenizer."""
+import os
+
+import numpy as np
+import pytest
+
+from xggm_tpu.config import DataConfig
+from xggm_tpu.data.datasets import (
+    GQADataset, VQACPDataset, GraphBatchDataset, GQAEvaluator, VQAEvaluator,
+    oracle_score,
+)
+from xggm_tpu.data.feeder import Feeder
+from xggm_tpu.data.synthetic import (
+    make_synthetic_gqa, make_synthetic_vqacp, write_vocab, ANSWERS,
+)
+from xggm_tpu.data.tokenizer import BertTokenizer, make_test_vocab
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    make_synthetic_gqa(root, "train", n_images=8, n_questions=24, feat_dim=64)
+    make_synthetic_vqacp(root, "train", n_images=8, n_questions=24, feat_dim=64)
+    vocab_path = os.path.join(root, "vocab.txt")
+    write_vocab(vocab_path)
+    return root
+
+
+@pytest.fixture(scope="module")
+def tokenizer(data_root):
+    return BertTokenizer.from_file(os.path.join(data_root, "vocab.txt"))
+
+
+def test_tokenizer_roundtrip(tokenizer):
+    toks = tokenizer.tokenize("What is the COLOR of the dog?")
+    assert toks[-1] == "?"
+    assert "color" in toks
+    ids, mask, seg = tokenizer.encode("what is the color", 20)
+    assert len(ids) == 20 and ids[0] == tokenizer.vocab["[CLS]"]
+    assert sum(mask) == 6  # CLS + 4 words + SEP
+    assert all(s == 0 for s in seg)
+
+
+def test_tokenizer_wordpiece_semantics():
+    tok = BertTokenizer(make_test_vocab())
+    # greedy longest-match with ## continuation (classic BERT example)
+    assert tok.tokenize("unwanted running") == \
+        ["un", "##want", "##ed", "run", "##ning"]
+    # word not coverable by pieces -> [UNK]
+    assert tok.tokenize("zzzz") == ["[UNK]"]
+    assert tok.tokenize("what's")[0] == "what"
+    # punctuation splitting + lowercase + accent strip
+    assert tok.tokenize("Café,dog")[-1] == "dog"
+
+
+def test_gqa_dataset_and_feeder(data_root, tokenizer):
+    cfg = DataConfig(data_root=data_root)
+    dset = GQADataset("train", cfg)
+    assert dset.num_answers == len(ANSWERS)
+    gbd = GraphBatchDataset(dset, tokenizer)
+    assert len(gbd) == 24  # one label each, all in vocab
+    batch = gbd.get_batch([0, 1, 2])
+    assert batch["feats"].shape == (3, 36, 64)
+    assert batch["boxes"].shape == (3, 36, 4)
+    assert batch["boxes"].max() <= 1 + 1e-5 and batch["boxes"].min() >= -1e-5
+    assert batch["adj"].shape == (3, 36, 36)
+    np.testing.assert_allclose(batch["adj"], batch["adj"].transpose(0, 2, 1))
+    assert batch["target"].shape == (3, len(ANSWERS))
+
+    feeder = Feeder(gbd, batch_size=10, shuffle=True, drop_last=False)
+    batches = list(feeder)
+    assert len(batches) == 3
+    qids, b, mask = batches[-1]
+    # padded final batch: 24 = 10+10+4
+    assert len(qids) == 4 and mask.sum() == 4
+    assert b["feats"].shape[0] == 10
+
+    feeder_drop = Feeder(gbd, batch_size=10, shuffle=True, drop_last=True)
+    assert len(list(feeder_drop)) == 2
+
+
+def test_gqa_evaluator(data_root, tokenizer):
+    cfg = DataConfig(data_root=data_root)
+    dset = GQADataset("train", cfg)
+    ev = GQAEvaluator(dset)
+    # predicting the gold answer for every question scores 1.0
+    gold = {d["question_id"]: next(iter(d["label"])) for d in dset.data}
+    assert ev.evaluate(gold) == pytest.approx(1.0)
+    wrong = {q: ("no" if a != "no" else "yes") for q, a in gold.items()}
+    assert ev.evaluate(wrong) == pytest.approx(0.0)
+
+
+def test_vqacp_dataset_and_evaluator(data_root, tokenizer):
+    cfg = DataConfig(data_root=data_root)
+    dset = VQACPDataset("train", cfg)
+    gbd = GraphBatchDataset(dset, tokenizer)
+    assert len(gbd) == 24
+    batch = gbd.get_batch(list(range(5)))
+    assert batch["target"].shape == (5, len(ANSWERS))
+    ev = VQAEvaluator(dset)
+    gold = {d["question_id"]: ANSWERS[d["label"][0]] for d in dset.data}
+    assert ev.evaluate(gold) == pytest.approx(1.0)
+    assert oracle_score(gbd) == pytest.approx(1.0)
+
+
+def test_tiny_mode(data_root, tokenizer):
+    cfg = DataConfig(data_root=data_root, tiny=True)
+    dset = GQADataset("train", cfg)
+    gbd = GraphBatchDataset(dset, tokenizer)
+    assert len(gbd) == 24  # tiny caps at 512, dataset smaller

@@ -1,0 +1,187 @@
+"""Generate golden parity fixtures from the reference PyTorch implementation.
+
+Runs the reference (jingjing12110/X-GGM at XGGM_REFERENCE_PATH, default
+/root/reference) on fixed inputs in eval mode and stores state dicts +
+inputs + outputs as .npz under tests/goldens/. The parity tests then load
+the same weights through the torch->JAX bridge and assert our outputs match.
+
+This script READS the reference; no reference code is copied into the
+framework. Re-run it if fixtures need regeneration:
+    python tools/make_goldens.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REF = os.environ.get("XGGM_REFERENCE_PATH", "/root/reference")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "goldens")
+
+
+def _stub(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+
+
+def setup_reference():
+    _stub("boto3")
+    _stub("botocore")
+    _stub("botocore.exceptions", ClientError=Exception)
+    _stub("requests")
+    sys.path.insert(0, os.path.join(REF, "src"))
+
+
+def flat_sd(module):
+    return {k: v.detach().cpu().numpy()
+            for k, v in module.state_dict().items()}
+
+
+def make_lxrt_golden():
+    import torch
+    import lxrt.modeling as M
+
+    torch.manual_seed(0)
+    M.VISUAL_CONFIG.l_layers = 2
+    M.VISUAL_CONFIG.x_layers = 1
+    M.VISUAL_CONFIG.r_layers = 1
+    M.VISUAL_CONFIG.set_visual_dims(32, 4)
+    cfg = M.BertConfig(vocab_size_or_config_json_file=128, hidden_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       intermediate_size=128, max_position_embeddings=64)
+    model = M.LXRTModel(cfg)
+    model.eval()
+
+    rng = np.random.RandomState(7)
+    B, L, N = 3, 20, 36
+    ids = rng.randint(1, 128, (B, L)).astype(np.int64)
+    mask = np.ones((B, L), np.int64)
+    mask[:, 12:] = 0
+    seg = np.zeros((B, L), np.int64)
+    feats = rng.randn(B, N, 32).astype(np.float32)
+    boxes = rng.rand(B, N, 4).astype(np.float32)
+
+    with torch.no_grad():
+        (lang, visn), pooled = model(
+            torch.from_numpy(ids), torch.from_numpy(seg),
+            torch.from_numpy(mask),
+            visual_feats=(torch.from_numpy(feats), torch.from_numpy(boxes)))
+
+    sd = flat_sd(model)
+    np.savez_compressed(
+        os.path.join(OUT, "lxrt_tiny.npz"),
+        **{f"sd::{k}": v for k, v in sd.items()},
+        input_ids=ids.astype(np.int32), input_mask=mask.astype(np.int32),
+        segment_ids=seg.astype(np.int32), feats=feats, boxes=boxes,
+        out_lang=lang.numpy(), out_visn=visn.numpy(),
+        out_pooled=pooled.numpy())
+    print("lxrt_tiny.npz: pooled mean", float(pooled.mean()))
+
+
+def make_ggm_goldens():
+    import torch
+    from module.graph_generative_modeling import (
+        GCNGenerator, GINGenerator, GATGenerator)
+
+    rng = np.random.RandomState(3)
+    B, N, H = 2, 36, 64
+    x = rng.randn(B, N, H).astype(np.float32)
+    adj = rng.rand(B, N, N).astype(np.float32)
+    adj = (adj + adj.transpose(0, 2, 1)) / 2
+
+    for name, cls, kw in [("gcn", GCNGenerator, {}),
+                          ("gin", GINGenerator, {}),
+                          ("gat", GATGenerator, {})]:
+        torch.manual_seed(1)
+        gen = cls(hidden_dim=H, n_layers=1 if name == "gat" else 2)
+        gen.eval()
+        with torch.no_grad():
+            xo, ao = gen(torch.from_numpy(x), torch.from_numpy(adj))
+        np.savez_compressed(
+            os.path.join(OUT, f"ggm_{name}_tiny.npz"),
+            **{f"sd::{k}": v for k, v in flat_sd(gen).items()},
+            x=x, adj=adj, out_x=xo.numpy(), out_adj=ao.numpy())
+        print(f"ggm_{name}_tiny.npz: out_x mean {float(xo.mean()):.6f}")
+
+
+def make_bert_adam_golden():
+    import torch
+    from lxrt.optimization import BertAdam
+
+    torch.manual_seed(5)
+    rng = np.random.RandomState(5)
+    w0 = rng.randn(8, 4).astype(np.float32)
+    b0 = rng.randn(4).astype(np.float32)
+    w = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    b = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = BertAdam([{"params": [w]},
+                    {"params": [b], "lr": 1e-3}],
+                   lr=4e-3, warmup=0.1, t_total=10)
+    grads_w, grads_b, traj_w, traj_b = [], [], [], []
+    for step in range(6):
+        gw = rng.randn(8, 4).astype(np.float32)
+        gb = rng.randn(4).astype(np.float32)
+        w.grad = torch.from_numpy(gw.copy())
+        b.grad = torch.from_numpy(gb.copy())
+        opt.step()
+        grads_w.append(gw)
+        grads_b.append(gb)
+        traj_w.append(w.detach().numpy().copy())
+        traj_b.append(b.detach().numpy().copy())
+    np.savez_compressed(
+        os.path.join(OUT, "bert_adam.npz"),
+        w0=w0, b0=b0,
+        grads_w=np.stack(grads_w), grads_b=np.stack(grads_b),
+        traj_w=np.stack(traj_w), traj_b=np.stack(traj_b))
+    print("bert_adam.npz: final w mean", float(traj_w[-1].mean()))
+
+
+def make_loss_goldens():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(11)
+    score = rng.randn(2, 36, 36).astype(np.float32)
+    grad = rng.randn(2, 36, 36).astype(np.float32)
+    sigma = 1.0
+    sm = 0.5 * sigma ** 2 * ((torch.from_numpy(score) - torch.from_numpy(grad)
+                              ) ** 2).sum(dim=[-1, -2]).mean()
+    sm = sm / (36 * 36)
+
+    x = rng.randn(2, 36, 36).astype(np.float32)
+    y = rng.randn(2, 36, 36).astype(np.float32)
+    tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+    px, log_px = F.softmax(tx, -1), F.log_softmax(tx, -1)
+    py, log_py = F.softmax(ty, -1), F.log_softmax(ty, -1)
+    kl = (F.kl_div(log_px, py, reduction="none")
+          + F.kl_div(log_py, px, reduction="none")).mean()
+
+    logits = rng.randn(4, 16).astype(np.float32)
+    target = (rng.rand(4, 16) > 0.8).astype(np.float32)
+    bce = torch.nn.BCEWithLogitsLoss()(torch.from_numpy(logits),
+                                       torch.from_numpy(target))
+    np.savez_compressed(
+        os.path.join(OUT, "losses.npz"),
+        score=score, grad=grad, sigma=np.float32(sigma),
+        sm=np.float32(sm.item()),
+        klx=x, kly=y, kl=np.float32(kl.item()),
+        logits=logits, target=target, bce=np.float32(bce.item()))
+    print("losses.npz:", float(sm), float(kl), float(bce))
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    setup_reference()
+    make_lxrt_golden()
+    make_ggm_goldens()
+    make_bert_adam_golden()
+    make_loss_goldens()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Device feeder: background batch assembly + double-buffered device_put.
+
+Replaces the reference's DataLoader-worker + prefetch-thread stack
+(`DataLoaderX`, reference src/tools/data_loader.py:8-10): a host thread
+assembles fixed-shape numpy batches ahead of consumption and `device_put`s
+them (sharded over the mesh when given one), so the TPU never waits on host
+I/O - the JAX equivalent of pinned-memory double buffering.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+from xggm_tpu.data.datasets import GraphBatchDataset
+from xggm_tpu.parallel.mesh import batch_sharding, pad_batch_to
+
+
+class Feeder:
+    def __init__(self, dataset: GraphBatchDataset, batch_size: int,
+                 shuffle: bool = False, drop_last: bool = False,
+                 seed: int = 9595, mesh=None, prefetch_depth: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.mesh = mesh
+        self.prefetch_depth = prefetch_depth
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            yield order[start:start + self.batch_size]
+
+    def _place(self, batch: Dict[str, np.ndarray]):
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    def __iter__(self):
+        """Yields (question_ids, device_batch, valid_mask). The final partial
+        batch is padded to batch_size with a validity mask (SPMD-friendly
+        static shapes; reference relied on DataParallel ragged gather)."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for idx in self._index_batches():
+                    qids = self.dataset.question_ids(idx)
+                    batch = self.dataset.get_batch(idx)
+                    batch, mask = pad_batch_to(batch, self.batch_size)
+                    q.put((qids, batch, mask))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            qids, batch, mask = item
+            yield qids, self._place(batch), mask
+        t.join()
+        self._epoch += 1
