@@ -1,0 +1,159 @@
+"""Official metric engines: GQAEval + VQA official evaluator.
+
+The VQA normalization/accuracy tests cross-check against the reference
+implementation imported directly from /root/reference (read-only), when
+available - guaranteeing behavioral parity of the port.
+"""
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from xggm_tpu.evals.gqa_eval import GQAEval, ood_test_report
+from xggm_tpu.evals.vqa_eval import (
+    VQAOfficialEval, normalize_answer, process_punctuation,
+)
+
+REF = os.environ.get("XGGM_REFERENCE_PATH", "/root/reference")
+
+
+def make_gqa_questions(tmp, n=20, seed=0):
+    rng = np.random.RandomState(seed)
+    questions = {}
+    answers = ["yes", "no", "red", "blue"]
+    for i in range(n):
+        qid = f"q{i}"
+        structural = "query" if i % 2 else "verify"
+        questions[qid] = {
+            "answer": answers[i % 4],
+            "isBalanced": True,
+            "question": "what is it ?",
+            "types": {"structural": structural, "semantic": "attr",
+                      "detailed": "x"},
+            "groups": {"global": "color"},
+            "semantic": [{"operation": "select", "argument": "thing"},
+                         {"operation": "query: name", "argument": ""}],
+            "ans_head": ["yes", "no"],
+            "ans_tail": ["red"],
+        }
+    return questions
+
+
+def test_gqa_eval_accuracy(tmp_path):
+    questions = make_gqa_questions(tmp_path)
+    qfile = tmp_path / "questions.json"
+    qfile.write_text(json.dumps(questions))
+
+    # all-correct predictions
+    preds = [{"questionId": q, "prediction": v["answer"]}
+             for q, v in questions.items()]
+    pfile = tmp_path / "preds.json"
+    pfile.write_text(json.dumps(preds))
+    ev = GQAEval(str(pfile), str(qfile), eval_head_tail=True)
+    res = ev.get_acc_result()
+    assert res["accuracy"] == pytest.approx(100.0)
+    assert res["binary"] == pytest.approx(100.0)
+    assert res["open"] == pytest.approx(100.0)
+    assert ev.scores["distribution"] == pytest.approx(0.0)
+
+    # half-wrong open questions
+    preds2 = []
+    for q, v in questions.items():
+        ans = v["answer"]
+        if v["types"]["structural"] == "query":
+            ans = "wrong"
+        preds2.append({"questionId": q, "prediction": ans})
+    (tmp_path / "preds2.json").write_text(json.dumps(preds2))
+    ev2 = GQAEval(str(tmp_path / "preds2.json"), str(qfile))
+    res2 = ev2.get_acc_result()
+    assert res2["binary"] == pytest.approx(100.0)
+    assert res2["open"] == pytest.approx(0.0)
+    assert res2["accuracy"] == pytest.approx(50.0)
+    lines, detail = ev2.get_str_result()
+    assert any("Accuracy: 50.00%" in ln for ln in lines)
+
+
+def test_gqa_ood_delta(tmp_path):
+    questions = make_gqa_questions(tmp_path)
+    for name in ("ood_testdev_tail.json", "ood_testdev_head.json",
+                 "ood_testdev_all.json"):
+        (tmp_path / name).write_text(json.dumps(questions))
+    preds = [{"questionId": q, "prediction": v["answer"]}
+             for q, v in questions.items()]
+    (tmp_path / "p.json").write_text(json.dumps(preds))
+    rep = ood_test_report(str(tmp_path / "p.json"), str(tmp_path))
+    assert rep["All"] == pytest.approx(100.0)
+    assert rep["Delta"] == pytest.approx(0.0)
+
+
+def _make_vqa_fixture(seed=0, n=30):
+    rng = np.random.RandomState(seed)
+    ans_pool = ["yes", "no", "two", "blue car", "None", "a dog, maybe"]
+    annotations, results = [], []
+    for qid in range(n):
+        answers = [{"answer": ans_pool[rng.randint(len(ans_pool))],
+                    "answer_id": k + 1} for k in range(10)]
+        annotations.append({
+            "question_id": qid,
+            "question_type": "what",
+            "answer_type": "other",
+            "answers": answers,
+        })
+        results.append({"question_id": qid,
+                        "answer": ans_pool[rng.randint(len(ans_pool))]})
+    return annotations, results
+
+
+def test_vqa_normalization():
+    assert normalize_answer("Two") == "2"
+    assert normalize_answer("a dog") == "dog"
+    assert normalize_answer("dont") == "don't"
+    assert normalize_answer("blue.") == "blue"
+    assert normalize_answer("yes!") == "yes"
+
+
+def test_vqa_eval_perfect():
+    anns, _ = _make_vqa_fixture()
+    # predict each question's most common answer -> accuracy equals the
+    # official formula's value; sanity: all-same-answers case gives 100
+    anns1 = [{"question_id": 0, "question_type": "what",
+              "answer_type": "other",
+              "answers": [{"answer": "yes", "answer_id": k + 1}
+                          for k in range(10)]}]
+    ev = VQAOfficialEval(anns1, [{"question_id": 0, "answer": "yes"}])
+    assert ev.evaluate()["overall"] == pytest.approx(100.0)
+    ev0 = VQAOfficialEval(anns1, [{"question_id": 0, "answer": "no"}])
+    assert ev0.evaluate()["overall"] == pytest.approx(0.0)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_vqa_eval_parity_with_reference():
+    """Cross-check the full evaluator against the reference implementation
+    on randomized annotations (incl. punctuation/digit/article edge cases)."""
+    sys.path.insert(0, os.path.join(REF, "eval", "vqacpv2"))
+    from vqaEval import VQAEval as RefEval
+
+    anns, results = _make_vqa_fixture(seed=3)
+
+    class FakeVQA:
+        def __init__(self, anns):
+            self.qa = {a["question_id"]: a for a in anns}
+
+        def getQuesIds(self):
+            return list(self.qa.keys())
+
+    class FakeRes:
+        def __init__(self, results):
+            self.qa = {r["question_id"]: r for r in results}
+
+    import copy
+    ref = RefEval(FakeVQA(copy.deepcopy(anns)), FakeRes(results))
+    ref.evaluate()
+
+    ours = VQAOfficialEval(anns, results)
+    acc = ours.evaluate()
+    assert acc["overall"] == pytest.approx(ref.accuracy["overall"])
+    assert acc["perAnswerType"] == ref.accuracy["perAnswerType"]

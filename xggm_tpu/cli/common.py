@@ -1,0 +1,145 @@
+"""Shared CLI argument parsing - flag-compatible with the reference
+(src/param.py:34-137) so the reference's shell scripts translate 1:1, plus
+TPU-specific additions (--dtype, --model_parallel, --synthetic)."""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import Tuple
+
+import numpy as np
+
+from xggm_tpu.config import (
+    XGGMConfig, LxmertConfig, BertConfig, VisualConfig, GGMConfig,
+    TrainConfig, DataConfig, MeshConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # Data splits (reference param.py:38-40)
+    p.add_argument("--train", default="train")
+    p.add_argument("--valid", default="val")
+    p.add_argument("--test", default=None)
+    # Training hyperparameters (:43-52)
+    p.add_argument("--bs", dest="batch_size", type=int, default=8)
+    p.add_argument("--optim", default="bert")
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=9595)
+    p.add_argument("--fp16", action="store_const", default=False, const=True)
+    p.add_argument("--tf_writer", default=True,
+                   type=lambda s: s in ("True", "true", "1", True))
+    # Debugging (:55-58)
+    p.add_argument("--output", type=str, default="snap/debug")
+    p.add_argument("--fast", action="store_const", default=False, const=True)
+    p.add_argument("--tiny", action="store_const", default=False, const=True)
+    p.add_argument("--tqdm", action="store_const", default=False, const=True)
+    # Model loading (:61-75)
+    p.add_argument("--load", type=str, default=None)
+    p.add_argument("--loadLXMERT", dest="load_lxmert", type=str, default=None)
+    p.add_argument("--loadLXMERTQA", dest="load_lxmert_qa", type=str,
+                   default=None)
+    p.add_argument("--fromScratch", dest="from_scratch",
+                   action="store_const", default=False, const=True)
+    p.add_argument("--mceLoss", dest="mce_loss", action="store_const",
+                   default=False, const=True)
+    # LXRT architecture (:83-88)
+    p.add_argument("--llayers", default=9, type=int)
+    p.add_argument("--xlayers", default=5, type=int)
+    p.add_argument("--rlayers", default=5, type=int)
+    # Pretraining task switches (:91-105)
+    p.add_argument("--taskMatched", dest="task_matched",
+                   action="store_const", default=False, const=True)
+    p.add_argument("--taskMaskLM", dest="task_mask_lm",
+                   action="store_const", default=False, const=True)
+    p.add_argument("--taskObjPredict", dest="task_obj_predict",
+                   action="store_const", default=False, const=True)
+    p.add_argument("--taskQA", dest="task_qa",
+                   action="store_const", default=False, const=True)
+    p.add_argument("--visualLosses", dest="visual_losses",
+                   default="obj,attr,feat", type=str)
+    p.add_argument("--qaSets", dest="qa_sets", default=None, type=str)
+    p.add_argument("--wordMaskRate", dest="word_mask_rate", default=0.15,
+                   type=float)
+    p.add_argument("--objMaskRate", dest="obj_mask_rate", default=0.15,
+                   type=float)
+    # Training configuration (:108-110)
+    p.add_argument("--multiGPU", action="store_const", default=False,
+                   const=True, help="shard the batch over all local devices")
+    p.add_argument("--numWorkers", dest="num_workers", default=0, type=int)
+    # OOD config (:113-120)
+    p.add_argument("--tmode", default="OOD", type=str)
+    p.add_argument("--gnn", default="GCN", type=str)
+    p.add_argument("--num_layer", default=2, type=int)
+    p.add_argument("--sigma", default=1.0, type=float)
+    p.add_argument("--delta", default=5, type=int)
+    # TPU-native additions
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--model_parallel", default=1, type=int)
+    p.add_argument("--data_root", default="data", type=str)
+    p.add_argument("--vocab", default=None, type=str,
+                   help="WordPiece vocab.txt (default {data_root}/vocab.txt)")
+    p.add_argument("--all_ans", default=None, type=str,
+                   help="all_ans.json for answer-head surgery "
+                        "(default {data_root}/lxmert/all_ans.json)")
+    p.add_argument("--synthetic", action="store_const", default=False,
+                   const=True, help="generate a synthetic corpus in-place "
+                                    "(smoke runs without real data)")
+    return p
+
+
+def to_config(args: argparse.Namespace, task: str) -> XGGMConfig:
+    clean_first = (task == "vqa")  # reference ordering difference (§3.2)
+    rel_d_mult = 8.0 if task == "vqa" else 12.0
+    cfg = XGGMConfig(
+        lxmert=LxmertConfig(
+            bert=BertConfig(hidden_dropout_prob=args.dropout,
+                            attention_probs_dropout_prob=args.dropout),
+            visual=VisualConfig(l_layers=args.llayers, x_layers=args.xlayers,
+                                r_layers=args.rlayers),
+            dtype=args.dtype,
+        ),
+        ggm=GGMConfig(gnn=args.gnn, num_layers=args.num_layer,
+                      sigma=args.sigma, delta=args.delta),
+        train=TrainConfig(batch_size=args.batch_size, optim=args.optim,
+                          lr=args.lr, epochs=args.epochs,
+                          dropout=args.dropout, seed=args.seed,
+                          clean_phase_first=clean_first,
+                          rel_d_mult=rel_d_mult),
+        data=DataConfig(train=args.train or "",
+                        valid=args.valid or "",
+                        test=args.test, tiny=args.tiny, fast=args.fast,
+                        num_workers=args.num_workers,
+                        data_root=args.data_root,
+                        vocab_path=args.vocab),
+        mesh=MeshConfig(model_parallel=args.model_parallel),
+        output=args.output,
+        tmode=args.tmode,
+    )
+    return cfg
+
+
+def seed_everything(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def make_mesh_if_requested(args):
+    if not args.multiGPU:
+        return None
+    from xggm_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(model_parallel=args.model_parallel)
+
+
+def dump_args(args: argparse.Namespace, output: str) -> None:
+    """Run-config dump (reference gqa_ood.py:470 writes args.json)."""
+    import json
+
+    os.makedirs(output, exist_ok=True)
+    with open(os.path.join(output, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)

@@ -1,0 +1,66 @@
+"""VQA-CP v2 entry point (reference src/vqa/vqacpv2.py:313-412 __main__ +
+script/vqacpv2.sh). Clean-phase-first ordering, rel_d_mult=8, delta=0 in the
+shipped recipe; test dumps {tmode}_predict.json for the official evaluator."""
+from __future__ import annotations
+
+import os
+
+from xggm_tpu.cli.common import (
+    build_parser, to_config, seed_everything, make_mesh_if_requested,
+    dump_args,
+)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    seed_everything(args.seed)
+    from xggm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    if args.synthetic:
+        from xggm_tpu.data.synthetic import make_synthetic_vqacp, write_vocab
+        splits = {args.train, args.valid, args.test} - {None, ""}
+        for i, split in enumerate(sorted(splits)):
+            make_synthetic_vqacp(args.data_root, split, seed=i)
+        write_vocab(os.path.join(args.data_root, "vocab.txt"))
+
+    cfg = to_config(args, task="vqa")
+    mesh = make_mesh_if_requested(args)
+
+    from xggm_tpu.data.datasets import VQACPDataset, GraphBatchDataset
+    from xggm_tpu.training.trainer import XGGMTrainer
+
+    trainer = XGGMTrainer(cfg, task="vqa", mesh=mesh)
+    dump_args(args, args.output)
+
+    # empty-string load flags mean "train from scratch"
+    for attr in ("load", "load_lxmert", "load_lxmert_qa"):
+        if getattr(args, attr) == "":
+            setattr(args, attr, None)
+
+    if args.load is not None:
+        trainer.load(args.load)
+    elif args.load_lxmert is not None:
+        trainer.load_lxmert(args.load_lxmert)
+    elif args.load_lxmert_qa is not None:
+        all_ans = args.all_ans or os.path.join(args.data_root, "lxmert",
+                                               "all_ans.json")
+        trainer.load_lxmert_qa(args.load_lxmert_qa, all_ans)
+
+    if args.test is not None:
+        ds_raw = VQACPDataset(args.test, cfg.data)
+        dataset = GraphBatchDataset(ds_raw, trainer.tokenizer)
+        # reference dumps {tmode}_predict.json (vqacpv2.py:384-401)
+        dump = os.path.join(args.output, f"{args.tmode}_predict.json")
+        quesid2ans = trainer.predict(dataset, dump_path=dump)
+        if dataset.has_targets:
+            from xggm_tpu.data.datasets import VQAEvaluator
+            acc = VQAEvaluator(ds_raw).evaluate(quesid2ans)
+            print(f"{args.test} ({args.tmode}) accuracy: {acc * 100.:.2f}")
+    else:
+        best = trainer.train()
+        print(f"Best valid: {best * 100.:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,7 @@ class DataConfig:
     fast: bool = False  # 5000 images (reference gqa_ood_data.py:16)
     num_workers: int = 2
     data_root: str = "data"
+    vocab_path: Optional[str] = None  # default: {data_root}/vocab.txt
     prefetch_depth: int = 2  # device-side double buffering
 
 

@@ -1,0 +1,300 @@
+"""Task trainers: the L5 layer (reference src/gqa/gqa_ood.py:70-480,
+src/vqa/vqacpv2.py:70-412, src/vqa/vqacpv2_baseline.py:67-339).
+
+Orchestration redesigned TPU-first:
+  * branch selection (randint(1,10) <= delta) happens on HOST per batch and
+    dispatches one of two pre-compiled step functions - the traced graphs
+    contain no data-dependent control flow;
+  * batches stream through the double-buffered device feeder, sharded over
+    the SPMD mesh;
+  * checkpoints capture the full train state (params + optimizer + step) via
+    orbax and support exact resume - beyond the reference's weights-only
+    save (gqa_ood.py:421-431);
+  * same observable behavior: two optimizer steps per batch, mid-epoch
+    validation at 3 linspace points (gqa_ood.py:157,338-350), BEST /
+    BEST_{epoch} checkpoint policy, log.log appends.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from xggm_tpu.config import XGGMConfig, MAX_SEQ_LENGTH
+from xggm_tpu.data.datasets import (
+    GQADataset, VQACPDataset, GraphBatchDataset, GQAEvaluator, VQAEvaluator,
+    oracle_score,
+)
+from xggm_tpu.data.feeder import Feeder
+from xggm_tpu.data.tokenizer import BertTokenizer
+from xggm_tpu.models.task_model import XGGMModel
+from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
+from xggm_tpu.training.steps import (
+    TrainState, make_ggm_train_step, make_clean_train_step, make_eval_step,
+)
+from xggm_tpu.training.metrics import MetricsLogger
+
+
+class XGGMTrainer:
+    """Train/predict/evaluate driver for one task ('gqa' or 'vqa')."""
+
+    def __init__(self, cfg: XGGMConfig, task: str = "gqa",
+                 tokenizer: Optional[BertTokenizer] = None, mesh=None):
+        assert task in ("gqa", "vqa")
+        self.cfg = cfg
+        self.task = task
+        self.mesh = mesh
+        self.output = cfg.output
+        os.makedirs(self.output, exist_ok=True)
+
+        vocab = cfg.data.vocab_path or os.path.join(cfg.data.data_root,
+                                                    "vocab.txt")
+        self.tokenizer = tokenizer or BertTokenizer.from_file(vocab)
+
+        ds_cls = GQADataset if task == "gqa" else VQACPDataset
+        self.ev_cls = GQAEvaluator if task == "gqa" else VQAEvaluator
+
+        self.train_set = None
+        if cfg.data.train:
+            raw = ds_cls(cfg.data.train, cfg.data)
+            self.train_set = GraphBatchDataset(raw, self.tokenizer,
+                                               MAX_SEQ_LENGTH)
+            self.train_evaluator = self.ev_cls(raw)
+            num_answers = raw.num_answers
+        else:
+            num_answers = cfg.num_answers
+        self.valid_set = None
+        if cfg.data.valid:
+            raw = ds_cls(cfg.data.valid, cfg.data)
+            self.valid_set = GraphBatchDataset(raw, self.tokenizer,
+                                               MAX_SEQ_LENGTH)
+            self.valid_evaluator = self.ev_cls(raw)
+
+        self.label2ans = raw.label2ans
+        self.num_answers = num_answers
+        self.cfg = cfg = cfg.replace(num_answers=num_answers)
+
+        self.model = XGGMModel(cfg.lxmert, cfg.ggm, num_answers)
+        self.params = self._init_params()
+
+        # Optimizer: downstream params at 4x base lr, encoder at base
+        # (reference gqa_ood.py:118-137); t_total = 2 x batches x epochs.
+        if self.train_set is not None:
+            steps_per_epoch = len(self.train_set) // cfg.train.batch_size
+            t_total = int(cfg.train.t_total_mult * steps_per_epoch
+                          * cfg.train.epochs)
+        else:
+            t_total = -1
+        scales = lr_scale_tree(
+            self.params, lambda p: not p.startswith("params/lxrt"),
+            cfg.train.downstream_lr_mult, 1.0)
+        self.tx = bert_adam(
+            lr=cfg.train.downstream_lr_mult * cfg.train.lr,
+            warmup=cfg.train.warmup, t_total=t_total,
+            weight_decay=cfg.train.weight_decay,
+            lr_scale=jax.tree.map(
+                lambda s: s / cfg.train.downstream_lr_mult, scales))
+        self.state = TrainState(self.params, self.tx.init(self.params))
+
+        self.rel_step = make_ggm_train_step(self.model, self.tx, cfg.train,
+                                            "relation")
+        self.rep_step = make_ggm_train_step(self.model, self.tx, cfg.train,
+                                            "representation")
+        self.clean_step = make_clean_train_step(self.model, self.tx,
+                                                cfg.train, num_answers)
+        self.eval_step = make_eval_step(self.model)
+
+        from xggm_tpu.checkpoint.manager import CheckpointManager
+        self.ckpt = CheckpointManager(self.output)
+        self.logger = MetricsLogger(self.output)
+        self.host_rng = random.Random(cfg.train.seed)
+        self.key = jax.random.PRNGKey(cfg.train.seed)
+
+    # ------------------------------------------------------------------
+
+    def _init_params(self):
+        cfg = self.cfg
+        rng = np.random.RandomState(0)
+        B = 2
+        dummy = {
+            "input_ids": rng.randint(1, cfg.lxmert.bert.vocab_size,
+                                     (B, MAX_SEQ_LENGTH)).astype(np.int32),
+            "input_mask": np.ones((B, MAX_SEQ_LENGTH), np.int32),
+            "segment_ids": np.zeros((B, MAX_SEQ_LENGTH), np.int32),
+            "feats": rng.randn(B, 36, cfg.lxmert.visual.visual_feat_dim
+                               ).astype(np.float32),
+            "boxes": rng.rand(B, 36, 4).astype(np.float32),
+            "adj": rng.rand(B, 36, 36).astype(np.float32),
+        }
+        return self.model.init(
+            {"params": jax.random.PRNGKey(cfg.train.seed),
+             "dropout": jax.random.PRNGKey(cfg.train.seed + 1)},
+            dummy["input_ids"], dummy["input_mask"], dummy["segment_ids"],
+            dummy["feats"], dummy["boxes"], dummy["adj"],
+            jax.random.PRNGKey(0), method=XGGMModel.init_all)
+
+    def load_lxmert(self, path: str) -> None:
+        """--loadLXMERT: encoder-only torch weights (reference
+        entry.py:132-158)."""
+        from xggm_tpu.checkpoint.torch_bridge import (
+            load_torch_state_dict, strip_prefixes, convert_lxrt_bert,
+            merge_into)
+
+        sd = strip_prefixes(load_torch_state_dict(
+            path if path.endswith(".pth") else f"{path}_LXRT.pth"))
+        prefix = "bert." if any(k.startswith("bert.") for k in sd) else ""
+        flat, _ = convert_lxrt_bert(sd, self.cfg.lxmert, torch_prefix=prefix,
+                                    our_prefix="lxrt")
+        self.params, unmatched = merge_into(self.params, flat)
+        self.state = TrainState(self.params, self.tx.init(self.params))
+        print(f"load_lxmert: {len(flat)} tensors, "
+              f"{len(unmatched)} model params untouched")
+
+    def load_lxmert_qa(self, path: str, all_ans_path: str) -> None:
+        """--loadLXMERTQA: encoder + answer-head surgery."""
+        from xggm_tpu.checkpoint.answer_table import load_lxmert_qa
+
+        self.params = load_lxmert_qa(path, self.params, self.label2ans,
+                                     self.cfg.lxmert, all_ans_path)
+        self.state = TrainState(self.params, self.tx.init(self.params))
+
+    def load(self, name_or_path: str) -> None:
+        """--load: fine-tuned checkpoint - orbax dir or torch .pth."""
+        if name_or_path.endswith(".pth") or os.path.isfile(name_or_path):
+            from xggm_tpu.checkpoint.torch_bridge import (
+                load_torch_state_dict, convert_task_model, merge_into)
+            sd = load_torch_state_dict(name_or_path)
+            flat = convert_task_model(sd, self.cfg.lxmert, self.cfg.ggm.gnn,
+                                      self.cfg.ggm.num_layers,
+                                      self.cfg.ggm.gat_heads)
+            self.params, unmatched = merge_into(self.params, flat)
+            self.state = TrainState(self.params, self.tx.init(self.params))
+            print(f"load(torch): {len(flat)} tensors, "
+                  f"{len(unmatched)} untouched")
+        else:
+            restored = self.ckpt.load(
+                os.path.basename(name_or_path),
+                like={"params": self.state.params,
+                      "opt_state": self.state.opt_state})
+            self.state = TrainState(restored["params"], restored["opt_state"])
+            self.params = self.state.params
+
+    def save(self, name: str) -> None:
+        self.ckpt.save(name, {"params": self.state.params,
+                              "opt_state": self.state.opt_state})
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def train(self) -> float:
+        cfg = self.cfg
+        feeder = Feeder(self.train_set, cfg.train.batch_size, shuffle=True,
+                        drop_last=True, seed=cfg.train.seed, mesh=self.mesh,
+                        prefetch_depth=cfg.data.prefetch_depth)
+        n_batches = len(feeder)
+        # mid-epoch validation points (reference gqa_ood.py:157)
+        val_points = set(np.linspace(0, n_batches, 5, dtype=int)[1:-1].tolist())
+
+        best_valid = 0.0
+        train_iter = 0
+        for epoch in range(cfg.train.epochs):
+            quesid2ans: Dict[object, str] = {}
+            t_epoch = time.time()
+            for i, (qids, batch, _mask) in enumerate(feeder):
+                use_relation = self.host_rng.randint(1, 10) <= cfg.ggm.delta
+                step = self.rel_step if use_relation else self.rep_step
+                self.state, metrics = step(self.state, batch, self._next_key())
+
+                preds = np.asarray(metrics["preds"])
+                for qid, p in zip(qids, preds[: len(qids)]):
+                    quesid2ans[qid] = self.label2ans[int(p)]
+
+                self.logger.log_step(train_iter, metrics,
+                                     branch="rel" if use_relation else "rep")
+                train_iter += 1
+
+                if i in val_points and self.valid_set is not None:
+                    acc = self.evaluate_valid()
+                    self.logger.log_scalar("valid/mid_epoch_acc", acc,
+                                           train_iter)
+                    if acc > best_valid:
+                        best_valid = acc
+                        self.save("BEST")
+
+            train_acc = self.train_evaluator.evaluate(quesid2ans) \
+                if quesid2ans else 0.0
+            log_line = (f"Epoch {epoch}: Train {train_acc * 100.:.2f}")
+            if self.valid_set is not None:
+                acc = self.evaluate_valid()
+                if acc > best_valid:
+                    best_valid = acc
+                    self.save("BEST")
+                self.save(f"BEST_{epoch}")
+                log_line += (f", Valid {acc * 100.:.2f}"
+                             f", Best {best_valid * 100.:.2f}")
+            log_line += f" ({time.time() - t_epoch:.1f}s)"
+            print(log_line)
+            with open(os.path.join(self.output, "log.log"), "a") as f:
+                f.write(log_line + "\n")
+        return best_valid
+
+    def train_baseline(self) -> float:
+        """Plain-BCE training loop (reference vqacpv2_baseline.py:152-240):
+        one clean step per batch, no GGM phase."""
+        cfg = self.cfg
+        feeder = Feeder(self.train_set, cfg.train.batch_size, shuffle=True,
+                        drop_last=True, seed=cfg.train.seed, mesh=self.mesh)
+        best_valid, train_iter = 0.0, 0
+        for epoch in range(cfg.train.epochs):
+            quesid2ans: Dict[object, str] = {}
+            for qids, batch, _mask in feeder:
+                self.state, metrics = self.clean_step(self.state, batch,
+                                                      self._next_key())
+                preds = np.asarray(metrics["preds"])
+                for qid, p in zip(qids, preds[: len(qids)]):
+                    quesid2ans[qid] = self.label2ans[int(p)]
+                self.logger.log_step(train_iter, metrics, branch="clean")
+                train_iter += 1
+            train_acc = self.train_evaluator.evaluate(quesid2ans)
+            log_line = f"Epoch {epoch}: Train {train_acc * 100.:.2f}"
+            if self.valid_set is not None:
+                acc = self.evaluate_valid()
+                if acc > best_valid:
+                    best_valid = acc
+                    self.save("BEST")
+                self.save(f"BEST_{epoch}")
+                log_line += (f", Valid {acc * 100.:.2f}"
+                             f", Best {best_valid * 100.:.2f}")
+            print(log_line)
+            with open(os.path.join(self.output, "log.log"), "a") as f:
+                f.write(log_line + "\n")
+        return best_valid
+
+    def predict(self, dataset: GraphBatchDataset,
+                dump_path: Optional[str] = None) -> Dict[object, str]:
+        """No-grad prediction (reference gqa_ood.py:379-403): encoder + head
+        only; padded batches masked out."""
+        feeder = Feeder(dataset, max(self.cfg.train.batch_size, 64),
+                        shuffle=False, drop_last=False, mesh=self.mesh)
+        quesid2ans: Dict[object, str] = {}
+        for qids, batch, mask in feeder:
+            preds = np.asarray(self.eval_step(self.state.params, batch))
+            for qid, p in zip(qids, preds[: len(qids)]):
+                quesid2ans[qid] = self.label2ans[int(p)]
+        if dump_path:
+            self.ev_cls.dump_result(quesid2ans, dump_path)
+        return quesid2ans
+
+    def evaluate_valid(self) -> float:
+        return self.valid_evaluator.evaluate(self.predict(self.valid_set))
+
+    def oracle_score(self) -> float:
+        return oracle_score(self.train_set)
