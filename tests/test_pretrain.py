@@ -1,0 +1,97 @@
+"""Pretraining path: synthetic corpus -> featurizer invariants -> model
+losses -> one pretrainer epoch."""
+import os
+
+import numpy as np
+import pytest
+
+from xggm_tpu.config import tiny_test_config, TrainConfig
+from xggm_tpu.data.pretrain_data import (
+    LxmertPretrainDataset, PretrainFeaturizer, LxmertPretrainEvaluator,
+)
+from xggm_tpu.data.synthetic_pretrain import make_synthetic_pretrain
+from xggm_tpu.data.tokenizer import BertTokenizer
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ptdata"))
+    make_synthetic_pretrain(root, n_images=8, sents_per_img=2, feat_dim=32)
+    ds = LxmertPretrainDataset("mscoco_train", root)
+    ds.load_features_h5(
+        os.path.join(root, "lxmert_imgfeat", "mscoco_train_obj36.h5"),
+        os.path.join(root, "lxmert_imgfeat", "mscoco_train_obj36_info.json"))
+    tok = BertTokenizer.from_file(os.path.join(root, "vocab.txt"))
+    feat = PretrainFeaturizer(ds, tok, max_seq_length=20,
+                              task_matched=True, seed=0)
+    return root, ds, tok, feat
+
+
+def test_flatten_and_featurize(corpus):
+    root, ds, tok, feat = corpus
+    # 8 images x (2 mscoco + 2 vqa) sentences
+    assert len(feat) == 32
+    batch, uids = feat.featurize(list(range(8)))
+    assert batch["input_ids"].shape == (8, 20)
+    assert batch["lm_labels"].shape == (8, 20)
+    assert batch["feats"].shape == (8, 36, 32)
+    assert batch["ans"].min() >= -1
+    # masked positions carry original ids; others are -1
+    lm = batch["lm_labels"]
+    assert (lm == -1).sum() > 0
+    # mismatched pairs get ans == -1
+    unmatched = batch["matched_labels"] == 0
+    assert np.all(batch["ans"][unmatched] == -1)
+    # feat_mask marks masked objects; zeroed features where mask and 80% arm
+    assert batch["feat_mask"].max() <= 1.0
+
+
+def test_pretrain_model_losses(corpus):
+    import jax
+    from xggm_tpu.models.pretrain_model import PretrainModel
+
+    root, ds, tok, feat = corpus
+    cfg = tiny_test_config()
+    model = PretrainModel(cfg.lxmert, num_answers=ds.num_answers)
+    batch, _ = feat.featurize(list(range(4)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+        batch["feats"], batch["boxes"])
+    total, losses, ans_logits = model.apply(
+        params, batch, deterministic=True,
+        method=PretrainModel.compute_losses)
+    assert set(losses) == {"Mask_LM", "Matched", "Obj", "Attr", "Feat", "QA"}
+    assert np.isfinite(float(total))
+    np.testing.assert_allclose(
+        float(total), sum(float(v) for v in losses.values()), rtol=1e-5)
+    assert ans_logits.shape == (4, ds.num_answers)
+
+
+def test_pretrainer_epoch(corpus, tmp_path):
+    from xggm_tpu.training.pretrainer import LxmertPretrainer
+
+    root, ds, tok, feat = corpus
+    cfg = tiny_test_config(
+        output=str(tmp_path / "out"),
+        train=TrainConfig(batch_size=8, lr=1e-4, epochs=1, seed=0))
+    trainer = LxmertPretrainer(cfg, feat, valid_feat=feat)
+    best = trainer.train()
+    assert np.isfinite(best)
+    assert trainer.ckpt.exists("Epoch01")
+    assert trainer.ckpt.exists("BEST_EVAL_LOSS")
+    assert int(np.asarray(trainer.state.opt_state.count)) == 4
+
+
+def test_pretrain_evaluator(corpus):
+    root, ds, tok, feat = corpus
+    ev = LxmertPretrainEvaluator(ds)
+    # answering every labeled uid with its gold answer scores 1.0
+    uid2ans = {}
+    for ex in feat.examples:
+        if ex.label:
+            aid = max(ex.label, key=ex.label.get)
+            uid2ans[ex.uid] = ds.answer_table.id2ans(aid)
+    acc, per_dset = ev.evaluate(uid2ans)
+    assert acc == pytest.approx(1.0)
+    assert per_dset.get("vqa") == pytest.approx(1.0)

@@ -203,9 +203,11 @@ class GraphBatchDataset:
     TorchDataset+DataLoader replacement."""
 
     def __init__(self, dataset: VQABaseDataset, tokenizer: BertTokenizer,
-                 max_seq_length: int = MAX_SEQ_LENGTH):
+                 max_seq_length: int = MAX_SEQ_LENGTH, store=None):
         self.raw = dataset
-        self.store = dataset.feature_store()
+        # `store` may be any feature store (e.g. the native
+        # XPackFeatureStore, xggm_tpu/data/xpack.py); defaults to H5.
+        self.store = store if store is not None else dataset.feature_store()
         self.records = dataset.records(self.store)
 
         # --tiny/--fast subset modes (reference gqa_ood_data.py:60-65,98-99)
@@ -230,12 +232,18 @@ class GraphBatchDataset:
 
     def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         n = len(indices)
-        feats = np.empty((n, NUM_OBJECTS, self.store_feat_dim), np.float32)
-        boxes = np.empty((n, NUM_OBJECTS, 4), np.float32)
-        adj = np.empty((n, NUM_OBJECTS, NUM_OBJECTS), np.float32)
-        for k, i in enumerate(indices):
-            f, b, a = self.store.get(self.records[i].img_id)
-            feats[k], boxes[k], adj[k] = f, b, a
+        if hasattr(self.store, "get_batch"):
+            # native xpack path: one parallel gather for the whole batch
+            rec = self.store.get_batch(
+                [self.records[i].img_id for i in indices])
+            feats, boxes, adj = rec["feats"], rec["boxes"], rec["adj"]
+        else:
+            feats = np.empty((n, NUM_OBJECTS, self.store_feat_dim), np.float32)
+            boxes = np.empty((n, NUM_OBJECTS, 4), np.float32)
+            adj = np.empty((n, NUM_OBJECTS, NUM_OBJECTS), np.float32)
+            for k, i in enumerate(indices):
+                f, b, a = self.store.get(self.records[i].img_id)
+                feats[k], boxes[k], adj[k] = f, b, a
         batch = {
             "input_ids": self.input_ids[indices],
             "input_mask": self.input_mask[indices],

@@ -1,0 +1,160 @@
+"""LXMERT pretraining trainer (reference src/pretrain/lxmert_pretrain.py:
+221-454): BertAdam warmup 0.05, t_total = steps x epochs (ONE optimizer step
+per batch, unlike fine-tuning's two), global-norm clip 1.0, eval by summed
+loss, saves Epoch%02d + BEST_EVAL_LOSS."""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from xggm_tpu.config import XGGMConfig
+from xggm_tpu.data.pretrain_data import (
+    LxmertPretrainDataset, PretrainFeaturizer, LxmertPretrainEvaluator,
+)
+from xggm_tpu.data.tokenizer import BertTokenizer
+from xggm_tpu.models.pretrain_model import PretrainModel, LOSSES_NAME
+from xggm_tpu.training.bert_adam import bert_adam
+from xggm_tpu.training.steps import TrainState
+
+
+class LxmertPretrainer:
+    def __init__(self, cfg: XGGMConfig, train_feat: PretrainFeaturizer,
+                 valid_feat: Optional[PretrainFeaturizer] = None,
+                 task_mask_lm: bool = True, task_matched: bool = True,
+                 task_obj_predict: bool = True, task_qa: bool = True,
+                 visual_losses: Tuple[str, ...] = ("obj", "attr", "feat"),
+                 mesh=None):
+        self.cfg = cfg
+        self.train_feat = train_feat
+        self.valid_feat = valid_feat
+        self.mesh = mesh
+        self.output = cfg.output
+        os.makedirs(self.output, exist_ok=True)
+
+        num_answers = train_feat.ds.num_answers
+        self.answer_table = train_feat.ds.answer_table
+        self.model = PretrainModel(
+            cfg.lxmert, num_answers=num_answers, task_mask_lm=task_mask_lm,
+            task_matched=task_matched, task_obj_predict=task_obj_predict,
+            task_qa=task_qa, visual_losses=visual_losses)
+
+        batch, _ = train_feat.featurize(list(range(2)))
+        self.params = self.model.init(
+            {"params": jax.random.PRNGKey(cfg.train.seed),
+             "dropout": jax.random.PRNGKey(cfg.train.seed + 1)},
+            batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+            batch["feats"], batch["boxes"])
+
+        steps_per_epoch = len(train_feat) // cfg.train.batch_size
+        t_total = int(steps_per_epoch * cfg.train.epochs)
+        self.tx = bert_adam(lr=cfg.train.lr, warmup=0.05, t_total=t_total,
+                            weight_decay=cfg.train.weight_decay)
+        self.state = TrainState(self.params, self.tx.init(self.params))
+        self.key = jax.random.PRNGKey(cfg.train.seed)
+
+        model = self.model
+
+        def loss_fn(params, batch, dropout_key):
+            total, losses, ans_logits = model.apply(
+                params, batch, deterministic=False,
+                rngs={"dropout": dropout_key},
+                method=PretrainModel.compute_losses)
+            return total, (losses, ans_logits)
+
+        @jax.jit
+        def train_step(state: TrainState, batch, key):
+            (total, (losses, ans_logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, key)
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-6))  # clip 1.0
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state), total, losses, \
+                jnp.argmax(ans_logits, axis=-1)
+
+        @jax.jit
+        def valid_step(params, batch):
+            total, losses, ans_logits = model.apply(
+                params, batch, deterministic=True,
+                method=PretrainModel.compute_losses)
+            return total, losses, jnp.argmax(ans_logits, axis=-1)
+
+        self.train_step = train_step
+        self.valid_step = valid_step
+        self.task_qa = task_qa
+
+        from xggm_tpu.checkpoint.manager import CheckpointManager
+        self.ckpt = CheckpointManager(self.output)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _batches(self, feat: PretrainFeaturizer, bs: int, shuffle: bool,
+                 rng: np.random.RandomState):
+        order = np.arange(len(feat))
+        if shuffle:
+            rng.shuffle(order)
+        stop = (len(feat) // bs) * bs
+        for s in range(0, stop, bs):
+            yield feat.featurize(order[s: s + bs].tolist())
+
+    def train(self) -> float:
+        cfg = self.cfg
+        rng = np.random.RandomState(cfg.train.seed)
+        best_eval_loss = float("inf")
+        bs = cfg.train.batch_size
+        for epoch in range(cfg.train.epochs):
+            total_loss = 0.0
+            sums: Dict[str, float] = {}
+            uid2ans = {}
+            n = 0
+            for batch, uids in self._batches(self.train_feat, bs, True, rng):
+                batch = jax.device_put(batch)
+                self.state, loss, losses, preds = self.train_step(
+                    self.state, batch, self._next_key())
+                total_loss += float(loss)
+                for k, v in losses.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                if self.task_qa:
+                    for uid, p in zip(uids, np.asarray(preds)):
+                        uid2ans[uid] = self.answer_table.id2ans(int(p))
+                n += 1
+            line = f"Epoch {epoch}: train loss {total_loss / max(n,1):.4f} " \
+                + " ".join(f"{k}: {sums.get(k, 0.) / max(n,1):.4f}"
+                           for k in LOSSES_NAME if k in sums)
+            print(line)
+            with open(os.path.join(self.output, "log.log"), "a") as f:
+                f.write(line + "\n")
+
+            if self.valid_feat is not None:
+                eval_loss = self.evaluate_epoch()
+                if eval_loss < best_eval_loss:
+                    best_eval_loss = eval_loss
+                    self.save("BEST_EVAL_LOSS")
+            self.save(f"Epoch{epoch + 1:02d}")
+        return best_eval_loss
+
+    def evaluate_epoch(self) -> float:
+        bs = self.cfg.train.batch_size
+        total, n = 0.0, 0
+        for batch, _uids in self._batches(self.valid_feat, bs, False,
+                                          np.random.RandomState(0)):
+            loss, _, _ = self.valid_step(self.state.params,
+                                         jax.device_put(batch))
+            total += float(loss)
+            n += 1
+        avg = total / max(n, 1)
+        print(f"valid loss {avg:.4f}")
+        return avg
+
+    def save(self, name: str) -> None:
+        self.ckpt.save(name, {"params": self.state.params,
+                              "opt_state": self.state.opt_state})
