@@ -178,6 +178,25 @@ def convert_lxrt_bert(sd: Dict[str, np.ndarray], cfg: LxmertConfig,
     return m.out, m
 
 
+def convert_bert_text(sd: Dict[str, np.ndarray], num_layers: int = 12,
+                      torch_prefix: str = "") -> Dict[str, np.ndarray]:
+    """Map a plain BERT state dict (HF bert-base-uncased layout:
+    `embeddings.*`, `encoder.layer.{i}.*`, `pooler.dense.*`) onto our
+    BertTextModel tree."""
+    m = _Mapper(strip_prefixes(sd))
+    t = torch_prefix
+    m.embedding(f"{t}embeddings.word_embeddings", "embeddings/word_embeddings")
+    m.embedding(f"{t}embeddings.position_embeddings",
+                "embeddings/position_embeddings")
+    m.embedding(f"{t}embeddings.token_type_embeddings",
+                "embeddings/token_type_embeddings")
+    m.layernorm(f"{t}embeddings.LayerNorm", "embeddings/LayerNorm")
+    for i in range(num_layers):
+        _map_bert_layer(m, f"{t}encoder.layer.{i}", f"layer_{i}")
+    m.linear(f"{t}pooler.dense", "pooler/dense")
+    return m.out
+
+
 def _map_linear_gelu_ln(m: _Mapper, t: str, o: str):
     """torch Sequential(Linear, GeLU, LayerNorm) -> our {fc, ln}."""
     m.linear(f"{t}.0", f"{o}/fc")

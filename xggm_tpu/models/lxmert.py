@@ -363,6 +363,34 @@ class LxmertModel(nn.Module):
         return (lang, visn), pooled
 
 
+class BertTextModel(nn.Module):
+    """Plain text-only BERT encoder (embeddings + N layers + pooler).
+
+    Used by the data-factory adjacency precompute (the reference embeds
+    object/attribute class names with HF bert-base-uncased pooled outputs,
+    data/preprocess/gqa/compute_adjacency_train.py:19-24) and usable with
+    bert-base-uncased torch checkpoints via the weight bridge."""
+
+    cfg: BertConfig
+    num_layers: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: Array, input_mask: Optional[Array] = None,
+                 token_type_ids: Optional[Array] = None,
+                 deterministic: bool = True):
+        if input_mask is None:
+            input_mask = jnp.ones_like(input_ids)
+        bias = additive_mask(input_mask)
+        x = BertEmbeddings(self.cfg, self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic)
+        for i in range(self.num_layers):
+            x = BertLayer(self.cfg, self.dtype, name=f"layer_{i}")(
+                x, bias, deterministic)
+        pooled = Pooler(self.cfg, self.dtype, name="pooler")(x)
+        return x, pooled
+
+
 class AnswerHead(nn.Module):
     """VQA answer MLP: hid -> 2*hid -> GeLU -> LN -> num_answers
     (reference BertVisualAnswerHead modeling.py:662-675 and the task models'
