@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xggm_tpu.models.lxmert import gelu, dense
+from xggm_tpu.ops.basic import gelu, dense
 
 Array = jax.Array
 

@@ -27,57 +27,16 @@ from flax import linen as nn
 
 from xggm_tpu.config import BertConfig, LxmertConfig
 
+from xggm_tpu.ops.basic import gelu, dense, bert_normal_init, LayerNormBase
+
 Array = jax.Array
 
 NEG_INF_MASK = -10000.0  # reference modeling.py:928
 
 
-def gelu(x: Array) -> Array:
-    """erf-based GeLU (reference modeling.py:116-124), not the tanh approx."""
-    return jax.nn.gelu(x, approximate=False)
+LayerNorm = LayerNormBase  # eps 1e-12 default (BertLayerNorm semantics)
 
 
-def bert_normal_init(stddev: float = 0.02):
-    """normal(0, initializer_range) init (reference modeling.py:734-744)."""
-    return nn.initializers.normal(stddev=stddev)
-
-
-class LayerNorm(nn.Module):
-    """LayerNorm with eps=1e-12, always computed in float32."""
-
-    epsilon: float = 1e-12
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        dim = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (y * scale + bias).astype(orig_dtype)
-
-
-class Dense(nn.Dense):
-    """nn.Dense defaulting to BERT init; params float32, compute in dtype."""
-
-    def __init_subclass__(cls, **kw):
-        super().__init_subclass__(**kw)
-
-
-def dense(features: int, dtype, name: Optional[str] = None, use_bias: bool = True,
-          stddev: float = 0.02) -> nn.Dense:
-    return nn.Dense(
-        features=features,
-        use_bias=use_bias,
-        dtype=dtype,
-        param_dtype=jnp.float32,
-        kernel_init=bert_normal_init(stddev),
-        bias_init=nn.initializers.zeros,
-        name=name,
-    )
 
 
 def additive_mask(mask: Array, dtype=jnp.float32) -> Array:

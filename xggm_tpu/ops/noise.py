@@ -72,9 +72,12 @@ def node_feature_to_matrix(x: Array) -> Array:
 
 
 def mask_adjs(adjs: Array, node_flags: Array) -> Array:
-    """Zero rows/cols of padded nodes (reference graph_utils.py:18-28)."""
-    adjs = adjs * node_flags[:, None, :]
-    return adjs * node_flags[:, :, None]
+    """Zero rows/cols of padded nodes (reference graph_utils.py:18-28).
+    Supports channel-stacked adjacencies [B, C..., N, N] with flags [B, N]."""
+    extra = adjs.ndim - node_flags.ndim - 1
+    f = node_flags.reshape(node_flags.shape[0], *([1] * extra),
+                           node_flags.shape[-1])
+    return adjs * f[..., None, :] * f[..., :, None]
 
 
 def pad_adjs(adj: Array, node_number: int) -> Array:
