@@ -40,6 +40,9 @@ class BertConfig:
     type_vocab_size: int = 2
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
+    # Use the Pallas fused-attention kernel (TPU only; falls back to the
+    # XLA einsum path on other backends or when attention dropout is active).
+    use_pallas_attention: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -110,6 +110,16 @@ class Attention(nn.Module):
         k = k.reshape(B, Lk, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, h, d).transpose(0, 2, 1, 3)
 
+        use_pallas = (c.use_pallas_attention
+                      and (deterministic or c.attention_probs_dropout_prob == 0)
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            from xggm_tpu.ops.pallas_attention import mha_pallas
+
+            ctx = mha_pallas(q, k, v, attn_bias)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Lq, c.hidden_size)
+            return ctx.astype(self.dtype)
+
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(d))
