@@ -1,0 +1,116 @@
+"""Aux subsystems: VQA annotation API, file cache, TF bridge mapping,
+profiling hooks."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xggm_tpu.evals.vqa_api import VQAAnnotations
+from xggm_tpu.utils.file_cache import (
+    cached_path, cache_put, url_to_filename, extract_archive,
+)
+
+
+def _write_annotations(path, n=6):
+    anns = []
+    for q in range(n):
+        anns.append({
+            "question_id": q,
+            "image_id": q % 3,
+            "question_type": "what" if q % 2 else "is",
+            "answer_type": "other" if q % 2 else "yes/no",
+            "answers": [{"answer": "yes", "answer_id": k + 1}
+                        for k in range(10)],
+        })
+    with open(path, "w") as f:
+        json.dump(anns, f)
+    return anns
+
+
+def test_vqa_annotations_api(tmp_path):
+    ann_file = str(tmp_path / "anns.json")
+    _write_annotations(ann_file)
+    vqa = VQAAnnotations(ann_file)
+    assert len(vqa.get_ques_ids()) == 6
+    assert set(vqa.get_ques_ids(img_ids=[0])) == {0, 3}
+    assert set(vqa.get_ques_ids(ques_types=["what"])) == {1, 3, 5}
+    assert set(vqa.get_img_ids(ques_ids=[0, 1])) == {0, 1}
+
+    res_file = str(tmp_path / "res.json")
+    with open(res_file, "w") as f:
+        json.dump([{"question_id": q, "answer": "yes"} for q in range(6)], f)
+    res = vqa.load_res(res_file)
+    assert res.qa[0]["answer"] == "yes"
+    assert res.qa[0]["answer_type"] == "yes/no"
+
+    # end-to-end with the official evaluator (vqaEvalDemo.py flow)
+    from xggm_tpu.evals.vqa_eval import VQAOfficialEval
+    ev = VQAOfficialEval(vqa.dataset, res.dataset)
+    assert ev.evaluate(vqa.get_ques_ids())["overall"] == pytest.approx(100.0)
+
+
+def test_file_cache(tmp_path):
+    cache = str(tmp_path / "cache")
+    src = tmp_path / "weights.bin"
+    src.write_bytes(b"abc123")
+    url = "https://example.com/bert/model.bin"
+    # miss -> informative error
+    with pytest.raises(FileNotFoundError, match="no egress"):
+        cached_path(url, cache_dir=cache)
+    # put + hit
+    cache_put(str(src), url, cache_dir=cache)
+    hit = cached_path(url, cache_dir=cache)
+    assert open(hit, "rb").read() == b"abc123"
+    assert os.path.basename(hit) == url_to_filename(url)
+    # plain local path passthrough
+    assert cached_path(str(src), cache_dir=cache) == str(src)
+
+
+def test_tf_bridge_mapping():
+    """Synthesize a TF-style var dict and verify it loads into
+    BertTextModel."""
+    import jax
+
+    from xggm_tpu.checkpoint.tf_bridge import convert_tf_bert
+    from xggm_tpu.checkpoint.torch_bridge import merge_into
+    from xggm_tpu.config import BertConfig
+    from xggm_tpu.models.lxmert import BertTextModel
+
+    rng = np.random.RandomState(0)
+    H, I, V = 32, 64, 50
+    tf_vars = {
+        "bert/embeddings/word_embeddings": rng.randn(V, H),
+        "bert/embeddings/position_embeddings": rng.randn(64, H),
+        "bert/embeddings/token_type_embeddings": rng.randn(2, H),
+        "bert/embeddings/LayerNorm/gamma": np.ones(H),
+        "bert/embeddings/LayerNorm/beta": np.zeros(H),
+        "bert/pooler/dense/kernel": rng.randn(H, H),
+        "bert/pooler/dense/bias": np.zeros(H),
+    }
+    for n in ("query", "key", "value"):
+        tf_vars[f"bert/encoder/layer_0/attention/self/{n}/kernel"] = \
+            rng.randn(H, H)
+        tf_vars[f"bert/encoder/layer_0/attention/self/{n}/bias"] = np.zeros(H)
+    for t, shape in [("attention/output/dense", (H, H)),
+                     ("intermediate/dense", (H, I)),
+                     ("output/dense", (I, H))]:
+        tf_vars[f"bert/encoder/layer_0/{t}/kernel"] = rng.randn(*shape)
+        tf_vars[f"bert/encoder/layer_0/{t}/bias"] = np.zeros(shape[1])
+    for ln in ("attention/output/LayerNorm", "output/LayerNorm"):
+        tf_vars[f"bert/encoder/layer_0/{ln}/gamma"] = np.ones(H)
+        tf_vars[f"bert/encoder/layer_0/{ln}/beta"] = np.zeros(H)
+
+    flat, missing = convert_tf_bert(tf_vars, num_layers=1)
+    assert not missing
+    assert flat["layer_0/attention/self/qkv/kernel"].shape == (H, 3 * H)
+
+    cfg = BertConfig(vocab_size=V, hidden_size=H, num_attention_heads=4,
+                     intermediate_size=I, max_position_embeddings=64)
+    model = BertTextModel(cfg, num_layers=1)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        np.zeros((2, 10), np.int32))
+    merged, unmatched = merge_into(params, flat)
+    assert not unmatched, unmatched[:4]
+    seq, pooled = model.apply(merged, np.ones((2, 10), np.int32))
+    assert np.all(np.isfinite(np.asarray(pooled)))
