@@ -89,6 +89,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_const", default=False,
                    const=True, help="generate a synthetic corpus in-place "
                                     "(smoke runs without real data)")
+    p.add_argument("--xpack", action="store_const", default=False, const=True,
+                   help="use the native packed-binary feature loader "
+                        "(expects {split}_obj36.xpack next to the h5 files; "
+                        "build with tools/make_xpack.py)")
+    p.add_argument("--profile", default=0, type=int,
+                   help="capture a jax.profiler trace of the first N steps "
+                        "into {output}/trace")
+    p.add_argument("--resume", action="store_const", default=False,
+                   const=True, help="resume from the newest BEST_{epoch} "
+                                    "checkpoint in --output (full train "
+                                    "state incl. optimizer)")
+    p.add_argument("--pallas_attention", action="store_const", default=False,
+                   const=True, help="use the Pallas fused-attention kernel")
     return p
 
 
@@ -98,7 +111,9 @@ def to_config(args: argparse.Namespace, task: str) -> XGGMConfig:
     cfg = XGGMConfig(
         lxmert=LxmertConfig(
             bert=BertConfig(hidden_dropout_prob=args.dropout,
-                            attention_probs_dropout_prob=args.dropout),
+                            attention_probs_dropout_prob=args.dropout,
+                            use_pallas_attention=getattr(
+                                args, "pallas_attention", False)),
             visual=VisualConfig(l_layers=args.llayers, x_layers=args.xlayers,
                                 r_layers=args.rlayers),
             dtype=args.dtype,

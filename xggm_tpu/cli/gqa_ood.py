@@ -35,7 +35,9 @@ def main(argv=None):
         cfg = cfg.replace(
             data=dataclasses.replace(cfg.data, tiny=False, fast=False))
 
-    trainer = XGGMTrainer(cfg, task="gqa", mesh=mesh)
+    trainer = XGGMTrainer(cfg, task="gqa", mesh=mesh,
+                          use_xpack=args.xpack,
+                          profile_steps=args.profile)
     dump_args(args, args.output)
 
     # empty-string load flags mean "train from scratch"
@@ -63,7 +65,8 @@ def main(argv=None):
             print(f"{args.test} accuracy: {acc * 100.:.2f}")
     else:
         print(f"Oracle score: {trainer.oracle_score() * 100.:.2f}")
-        best = trainer.train()
+        start_epoch = trainer.resume() if args.resume else 0
+        best = trainer.train(start_epoch)
         print(f"Best valid: {best * 100.:.2f}")
 
 

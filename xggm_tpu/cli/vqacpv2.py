@@ -30,7 +30,9 @@ def main(argv=None):
     from xggm_tpu.data.datasets import VQACPDataset, GraphBatchDataset
     from xggm_tpu.training.trainer import XGGMTrainer
 
-    trainer = XGGMTrainer(cfg, task="vqa", mesh=mesh)
+    trainer = XGGMTrainer(cfg, task="vqa", mesh=mesh,
+                          use_xpack=args.xpack,
+                          profile_steps=args.profile)
     dump_args(args, args.output)
 
     # empty-string load flags mean "train from scratch"
@@ -58,7 +60,8 @@ def main(argv=None):
             acc = VQAEvaluator(ds_raw).evaluate(quesid2ans)
             print(f"{args.test} ({args.tmode}) accuracy: {acc * 100.:.2f}")
     else:
-        best = trainer.train()
+        start_epoch = trainer.resume() if args.resume else 0
+        best = trainer.train(start_epoch)
         print(f"Best valid: {best * 100.:.2f}")
 
 

@@ -44,8 +44,11 @@ class XGGMTrainer:
     """Train/predict/evaluate driver for one task ('gqa' or 'vqa')."""
 
     def __init__(self, cfg: XGGMConfig, task: str = "gqa",
-                 tokenizer: Optional[BertTokenizer] = None, mesh=None):
+                 tokenizer: Optional[BertTokenizer] = None, mesh=None,
+                 use_xpack: bool = False, profile_steps: int = 0):
         assert task in ("gqa", "vqa")
+        self.use_xpack = use_xpack
+        self.profile_steps = profile_steps
         self.cfg = cfg
         self.task = task
         self.mesh = mesh
@@ -59,20 +62,22 @@ class XGGMTrainer:
         ds_cls = GQADataset if task == "gqa" else VQACPDataset
         self.ev_cls = GQAEvaluator if task == "gqa" else VQAEvaluator
 
+        def make_set(split):
+            raw = ds_cls(split, cfg.data)
+            store = self._maybe_xpack_store(raw) if use_xpack else None
+            return raw, GraphBatchDataset(raw, self.tokenizer,
+                                          MAX_SEQ_LENGTH, store=store)
+
         self.train_set = None
         if cfg.data.train:
-            raw = ds_cls(cfg.data.train, cfg.data)
-            self.train_set = GraphBatchDataset(raw, self.tokenizer,
-                                               MAX_SEQ_LENGTH)
+            raw, self.train_set = make_set(cfg.data.train)
             self.train_evaluator = self.ev_cls(raw)
             num_answers = raw.num_answers
         else:
             num_answers = cfg.num_answers
         self.valid_set = None
         if cfg.data.valid:
-            raw = ds_cls(cfg.data.valid, cfg.data)
-            self.valid_set = GraphBatchDataset(raw, self.tokenizer,
-                                               MAX_SEQ_LENGTH)
+            raw, self.valid_set = make_set(cfg.data.valid)
             self.valid_evaluator = self.ev_cls(raw)
 
         self.label2ans = raw.label2ans
@@ -116,6 +121,20 @@ class XGGMTrainer:
         self.key = jax.random.PRNGKey(cfg.train.seed)
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _maybe_xpack_store(raw):
+        """Use the native packed loader when a {split}_obj36.xpack exists
+        next to the H5 files (built by tools/make_xpack.py)."""
+        sub = "gqa_imgfeat" if isinstance(raw, GQADataset) else "mscoco_imgfeat"
+        pack = os.path.join(raw.cfg.data_root, sub,
+                            f"{raw.splits[0]}_obj36.xpack")
+        if os.path.exists(pack):
+            from xggm_tpu.data.xpack import XPackFeatureStore
+
+            print(f"using native xpack store: {pack}")
+            return XPackFeatureStore(pack)
+        return None
 
     def _init_params(self):
         cfg = self.cfg
@@ -180,13 +199,32 @@ class XGGMTrainer:
             restored = self.ckpt.load(
                 os.path.basename(name_or_path),
                 like={"params": self.state.params,
-                      "opt_state": self.state.opt_state})
+                      "opt_state": self.state.opt_state,
+                      "epoch": np.asarray(-1, np.int32)})
             self.state = TrainState(restored["params"], restored["opt_state"])
             self.params = self.state.params
 
-    def save(self, name: str) -> None:
+    def save(self, name: str, epoch: int = -1) -> None:
         self.ckpt.save(name, {"params": self.state.params,
-                              "opt_state": self.state.opt_state})
+                              "opt_state": self.state.opt_state,
+                              "epoch": np.asarray(epoch, np.int32)})
+
+    def resume(self) -> int:
+        """Resume from the newest BEST_{epoch} checkpoint; returns the next
+        epoch index (0 when nothing to resume). Restores optimizer state -
+        the reference cannot do this (SURVEY §5.4)."""
+        last = self.ckpt.latest_epoch()
+        if last is None:
+            return 0
+        restored = self.ckpt.load(
+            f"BEST_{last}",
+            like={"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "epoch": np.asarray(-1, np.int32)})
+        self.state = TrainState(restored["params"], restored["opt_state"])
+        self.params = self.state.params
+        print(f"resumed from BEST_{last}")
+        return last + 1
 
     # ------------------------------------------------------------------
 
@@ -194,7 +232,7 @@ class XGGMTrainer:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def train(self) -> float:
+    def train(self, start_epoch: int = 0) -> float:
         cfg = self.cfg
         feeder = Feeder(self.train_set, cfg.train.batch_size, shuffle=True,
                         drop_last=True, seed=cfg.train.seed, mesh=self.mesh,
@@ -203,9 +241,14 @@ class XGGMTrainer:
         # mid-epoch validation points (reference gqa_ood.py:157)
         val_points = set(np.linspace(0, n_batches, 5, dtype=int)[1:-1].tolist())
 
+        if self.profile_steps:
+            from xggm_tpu.utils import profiling
+            import jax as _jax
+            _jax.profiler.start_trace(os.path.join(self.output, "trace"))
+
         best_valid = 0.0
         train_iter = 0
-        for epoch in range(cfg.train.epochs):
+        for epoch in range(start_epoch, cfg.train.epochs):
             quesid2ans: Dict[object, str] = {}
             t_epoch = time.time()
             for i, (qids, batch, _mask) in enumerate(feeder):
@@ -220,6 +263,9 @@ class XGGMTrainer:
                 self.logger.log_step(train_iter, metrics,
                                      branch="rel" if use_relation else "rep")
                 train_iter += 1
+                if self.profile_steps and train_iter == self.profile_steps:
+                    import jax as _jax
+                    _jax.profiler.stop_trace()
 
                 if i in val_points and self.valid_set is not None:
                     acc = self.evaluate_valid()
@@ -236,8 +282,8 @@ class XGGMTrainer:
                 acc = self.evaluate_valid()
                 if acc > best_valid:
                     best_valid = acc
-                    self.save("BEST")
-                self.save(f"BEST_{epoch}")
+                    self.save("BEST", epoch)
+                self.save(f"BEST_{epoch}", epoch)
                 log_line += (f", Valid {acc * 100.:.2f}"
                              f", Best {best_valid * 100.:.2f}")
             log_line += f" ({time.time() - t_epoch:.1f}s)"
@@ -269,8 +315,8 @@ class XGGMTrainer:
                 acc = self.evaluate_valid()
                 if acc > best_valid:
                     best_valid = acc
-                    self.save("BEST")
-                self.save(f"BEST_{epoch}")
+                    self.save("BEST", epoch)
+                self.save(f"BEST_{epoch}", epoch)
                 log_line += (f", Valid {acc * 100.:.2f}"
                              f", Best {best_valid * 100.:.2f}")
             print(log_line)
