@@ -62,8 +62,12 @@ def test_forward_shapes(setup):
 def test_ggm_train_step(setup, branch):
     cfg, model, params, batch = setup
     tx = bert_adam(lr=1e-4, warmup=0.1, t_total=100)
-    state = TrainState(params, tx.init(params))
+    # the step donates its input buffers - give it a private copy
+    params_c = jax.tree.map(lambda x: x.copy(), params)
+    state = TrainState(params_c, tx.init(params_c))
     step = make_ggm_train_step(model, tx, cfg.train, branch)
+    # snapshot before stepping: the step donates its input state buffers
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
     state2, metrics = step(state, batch, jax.random.PRNGKey(0))
     for k in ("ggm_loss", "clean_loss", "d_loss", "loss_grad", "loss_sm"):
         val = float(metrics[k])
@@ -73,15 +77,16 @@ def test_ggm_train_step(setup, branch):
     assert int(state2.opt_state.count) == 2
     # params changed (step 1 has lr=0 by the reference's pre-increment
     # schedule quirk, but step 2 doesn't)
-    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
-                        state.params, state2.params)
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(np.asarray(a) - b))),
+                        state2.params, before)
     assert max(jax.tree.leaves(diff)) > 0
 
 
 def test_clean_step_and_eval(setup):
     cfg, model, params, batch = setup
     tx = bert_adam(lr=1e-4, warmup=0.1, t_total=100)
-    state = TrainState(params, tx.init(params))
+    params_c = jax.tree.map(lambda x: x.copy(), params)
+    state = TrainState(params_c, tx.init(params_c))
     step = make_clean_train_step(model, tx, cfg.train, cfg.num_answers)
     state2, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["clean_loss"]))

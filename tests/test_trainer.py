@@ -45,6 +45,24 @@ def test_trainer_end_to_end(env):
     assert os.path.exists(os.path.join(env.output, "p.json"))
 
 
+def test_trainer_on_mesh(env, tmp_path):
+    """Same trainer, batch sharded over the virtual 8-device mesh."""
+    import dataclasses
+    import jax
+
+    from xggm_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    cfg = env.replace(output=str(tmp_path / "mesh_out"))
+    mesh = make_mesh()
+    trainer = XGGMTrainer(cfg, task="gqa", mesh=mesh)
+    best = trainer.train()
+    assert 0.0 <= best <= 1.0
+    assert int(np.asarray(trainer.state.opt_state.count)) == 8
+    preds = trainer.predict(trainer.valid_set)
+    assert len(preds) == 12
+
+
 def test_checkpoint_roundtrip(env):
     trainer = XGGMTrainer(env, task="gqa")
     trainer.save("CKPT_TEST")

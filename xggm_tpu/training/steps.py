@@ -108,7 +108,7 @@ def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
         return state, {"clean_loss": loss,
                        "preds": jnp.argmax(logits, axis=-1)}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, Array], key: Array):
         kg, kc = jax.random.split(key)
         metrics: Dict[str, Array] = {}
@@ -142,7 +142,7 @@ def make_clean_train_step(model, tx, cfg: TrainConfig,
         loss = bce_with_logits(logits, batch["target"]) * num_answers
         return loss, logits
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, Array], key: Array):
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, key)

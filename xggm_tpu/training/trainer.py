@@ -290,6 +290,8 @@ class XGGMTrainer:
             print(log_line)
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_line + "\n")
+        # steps donate their input buffers; refresh the params alias
+        self.params = self.state.params
         return best_valid
 
     def train_baseline(self) -> float:
@@ -322,6 +324,7 @@ class XGGMTrainer:
             print(log_line)
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_line + "\n")
+        self.params = self.state.params
         return best_valid
 
     def predict(self, dataset: GraphBatchDataset,
