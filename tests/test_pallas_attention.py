@@ -60,3 +60,36 @@ def test_mha_wrapper_shapes(qkv):
     out2 = mha_pallas(q, k, v, None)
     assert out2.shape == (B, H, Lq, D)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.skipif(
+    True, reason="pltpu.prng_seed has no CPU interpret lowering; the dropout "
+                 "variant is validated on real TPU by tools/drive_pallas.py")
+def test_dropout_variant(qkv):
+    from xggm_tpu.ops.pallas_attention import fused_attention_dropout
+
+    q, k, v, bias = qkv
+    seed = jnp.int32(7)
+    # rate ~ 0: matches the no-dropout kernel
+    out0 = fused_attention_dropout(q, k, v, bias, seed, 1e-9)
+    ref = fused_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    out = fused_attention_dropout(q, k, v, bias, seed, 0.5)
+    out_same = fused_attention_dropout(q, k, v, bias, seed, 0.5)
+    out_diff = fused_attention_dropout(q, k, v, bias, jnp.int32(8), 0.5)
+    # deterministic per seed; different across seeds
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_same))
+    assert float(jnp.max(jnp.abs(out - out_diff))) > 0
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # gradients flow and regenerate the same mask (finite, deterministic)
+    def loss(q, k, v):
+        return jnp.sum(fused_attention_dropout(q, k, v, bias, seed, 0.3) ** 2)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -110,13 +110,18 @@ class Attention(nn.Module):
         k = k.reshape(B, Lk, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, h, d).transpose(0, 2, 1, 3)
 
-        use_pallas = (c.use_pallas_attention
-                      and (deterministic or c.attention_probs_dropout_prob == 0)
-                      and jax.default_backend() == "tpu")
-        if use_pallas:
-            from xggm_tpu.ops.pallas_attention import mha_pallas
+        if c.use_pallas_attention and jax.default_backend() == "tpu":
+            rate = c.attention_probs_dropout_prob
+            if deterministic or rate == 0:
+                from xggm_tpu.ops.pallas_attention import mha_pallas
 
-            ctx = mha_pallas(q, k, v, attn_bias)
+                ctx = mha_pallas(q, k, v, attn_bias)
+            else:
+                from xggm_tpu.ops.pallas_attention import mha_pallas_dropout
+
+                seed = jax.random.bits(self.make_rng("dropout"),
+                                       dtype=jnp.uint32).astype(jnp.int32)
+                ctx = mha_pallas_dropout(q, k, v, attn_bias, seed, rate)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Lq, c.hidden_size)
             return ctx.astype(self.dtype)
 

@@ -112,6 +112,179 @@ def _bwd(res, g_out):
 fused_attention.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# Training-path variant: in-kernel attention-prob dropout. The Bernoulli mask
+# is generated INSIDE the kernel from (seed, program_id) via the TPU PRNG and
+# regenerated identically in the backward kernel - the [B,H,Lq,Lk] mask never
+# exists in HBM in either pass.
+# ---------------------------------------------------------------------------
+
+
+def _dropout_keep(shape, rate):
+    """uint32 threshold comparison -> {0, 1/(1-rate)} scale mask."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(int(rate * 0xFFFFFFFF))
+    keep = (pltpu.bitcast(bits, jnp.uint32) >= threshold)
+    return keep.astype(jnp.float32) / (1.0 - rate)
+
+
+def _attn_probs(q, k, bias, scale):
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s * scale + bias[:, None, :].astype(jnp.float32)
+    return jax.nn.softmax(s, axis=-1)
+
+
+def _attention_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
+                                  o_ref, *, scale, rate):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    p = _attn_probs(q_ref[:], k_ref[:], bias_ref[:], scale)
+    m = _dropout_keep(p.shape, rate)
+    o = jax.lax.dot_general(
+        (p * m).astype(v_ref.dtype), v_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _attention_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
+                                  g_ref, dq_ref, dk_ref, dv_ref,
+                                  *, scale, rate):
+    # regenerate the exact forward mask: same seed, same program_id
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    q, k, v = q_ref[:], k_ref[:], v_ref[:]
+    p = _attn_probs(q, k, bias_ref[:], scale)
+    m = _dropout_keep(p.shape, rate)
+    g = g_ref[:].astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    pm = p * m
+    # dv = (m*p)^T g
+    dv = jax.lax.dot_general(
+        pm, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    # dp = m * (g v^T); softmax backward
+    dp = jax.lax.dot_general(
+        g, v32, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * m
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(
+        ds, k.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _dropout_specs(g, lq, lk, d):
+    # index maps take (*grid_indices, *scalar_prefetch_refs)
+    qspec = pl.BlockSpec((g, lq, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((g, lk, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((g, lk), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, bspec
+
+
+def _pick_group(bh, group=16):
+    g = min(group, bh)
+    while bh % g:
+        g -= 1
+    return g
+
+
+def _fused_dropout_fwd_impl(q, k, v, bias, seed, rate, group=16):
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    g = _pick_group(bh, group)
+    qspec, kspec, bspec = _dropout_specs(g, lq, lk, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(bh // g,),
+        in_specs=[qspec, kspec, kspec, bspec],
+        out_specs=pl.BlockSpec((g, lq, d), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_attention_dropout_fwd_kernel,
+                          scale=1.0 / (d ** 0.5), rate=rate),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray([seed], jnp.int32), q, k, v, bias)
+
+
+def _fused_dropout_bwd_impl(q, k, v, bias, seed, rate, g_out, group=16):
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    g = _pick_group(bh, group)
+    qspec, kspec, bspec = _dropout_specs(g, lq, lk, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(bh // g,),
+        in_specs=[qspec, kspec, kspec, bspec, qspec],
+        out_specs=[
+            pl.BlockSpec((g, lq, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lk, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lk, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+    return pl.pallas_call(
+        functools.partial(_attention_dropout_bwd_kernel,
+                          scale=1.0 / (d ** 0.5), rate=rate),
+        out_shape=[jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, lk, d), v.dtype)],
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray([seed], jnp.int32), q, k, v, bias, g_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention_dropout(q, k, v, bias, seed, rate):
+    """Fused attention with in-kernel inverted dropout on the probabilities
+    (rate static; seed a traced int32 scalar)."""
+    return _fused_dropout_fwd_impl(q, k, v, bias, seed, rate)
+
+
+def _fwd_drop(q, k, v, bias, seed, rate):
+    return _fused_dropout_fwd_impl(q, k, v, bias, seed, rate), \
+        (q, k, v, bias, seed)
+
+
+def _bwd_drop(rate, res, g_out):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _fused_dropout_bwd_impl(q, k, v, bias, seed, rate, g_out)
+    return dq, dk, dv, jnp.zeros_like(bias), None
+
+
+fused_attention_dropout.defvjp(_fwd_drop, _bwd_drop)
+
+
+def mha_pallas_dropout(q: Array, k: Array, v: Array,
+                       attn_bias: Optional[Array], seed: Array,
+                       rate: float) -> Array:
+    """[B, H, L, D] wrapper for the dropout variant."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qf = q.reshape(b * h, lq, d)
+    kf = k.reshape(b * h, lk, d)
+    vf = v.reshape(b * h, lk, d)
+    if attn_bias is None:
+        bias = jnp.zeros((b * h, lk), jnp.float32)
+    else:
+        bias = jnp.broadcast_to(attn_bias[:, 0, 0, :][:, None, :],
+                                (b, h, lk)).reshape(b * h, lk)
+    out = fused_attention_dropout(qf, kf, vf, bias.astype(jnp.float32),
+                                  seed, rate)
+    return out.reshape(b, h, lq, d)
+
+
 def mha_pallas(q: Array, k: Array, v: Array,
                attn_bias: Optional[Array]) -> Array:
     """Drop-in for the [B, H, L, D] einsum attention path.
