@@ -133,3 +133,59 @@ def test_loss_parity():
     np.testing.assert_allclose(float(kl), float(g["kl"]), rtol=1e-6)
     bce = bce_with_logits(jnp.asarray(g["logits"]), jnp.asarray(g["target"]))
     np.testing.assert_allclose(float(bce), float(g["bce"]), rtol=1e-6)
+
+
+def test_task_glue_parity():
+    """Task-model glue heads vs reference-built torch modules: logit_fc,
+    encoder_adj (incl. triu scatter + symmetrize), node_fc tiling,
+    fusion_fc([x, tanh(mean(nodes))])."""
+    import jax.numpy as jnp
+
+    from xggm_tpu.checkpoint.torch_bridge import (
+        _Mapper, _map_linear_gelu_ln, unflatten_params)
+    from xggm_tpu.models.lxmert import AnswerHead
+    from xggm_tpu.models.task_model import NodeFC, triu_to_adjacency
+
+    sd, g = load_golden("task_glue_tiny.npz")
+    m = _Mapper(sd)
+    m.linear("logit_fc.0", "logit_fc/fc1")
+    m.layernorm("logit_fc.2", "logit_fc/ln")
+    m.linear("logit_fc.3", "logit_fc/fc2")
+    m.linear("encoder_adj.0", "encoder_adj")
+    _map_linear_gelu_ln(m, "node_fc", "node_fc")
+    _map_linear_gelu_ln(m, "fusion_fc", "fusion_fc")
+    assert not m.missing
+    flat = m.out
+    x = jnp.asarray(g["x"])
+    nodes = jnp.asarray(g["nodes"])
+
+    head = AnswerHead(hidden_size=64, num_answers=16)
+    p = unflatten_params({k[len("logit_fc/"):]: v for k, v in flat.items()
+                          if k.startswith("logit_fc/")})
+    logits = head.apply(p, x)
+    np.testing.assert_allclose(np.asarray(logits), g["out_logits"],
+                               rtol=2e-5, atol=2e-5)
+
+    # encoder_adj: sigmoid(Wx) scattered to triu + symmetrized
+    w = jnp.asarray(flat["encoder_adj/kernel"])
+    b = jnp.asarray(flat["encoder_adj/bias"])
+    vals = jax.nn.sigmoid(x @ w + b)
+    adj = triu_to_adjacency(vals)
+    np.testing.assert_allclose(np.asarray(adj), g["out_adj"],
+                               rtol=2e-5, atol=2e-5)
+
+    node_fc = NodeFC(features=64)
+    p = unflatten_params({k[len("node_fc/"):]: v for k, v in flat.items()
+                          if k.startswith("node_fc/")})
+    tiled = jnp.repeat(x[:, None, :], 36, axis=1)
+    node_out = node_fc.apply(p, tiled)
+    np.testing.assert_allclose(np.asarray(node_out), g["out_node"],
+                               rtol=2e-5, atol=2e-5)
+
+    fusion = NodeFC(features=64)
+    p = unflatten_params({k[len("fusion_fc/"):]: v for k, v in flat.items()
+                          if k.startswith("fusion_fc/")})
+    summary = jnp.tanh(jnp.mean(nodes, axis=1))
+    x_gen = fusion.apply(p, jnp.concatenate([x, summary], axis=-1))
+    np.testing.assert_allclose(np.asarray(x_gen), g["out_xgen"],
+                               rtol=2e-5, atol=2e-5)

@@ -109,6 +109,57 @@ def make_ggm_goldens():
         print(f"ggm_{name}_tiny.npz: out_x mean {float(xo.mean()):.6f}")
 
 
+def make_task_glue_golden():
+    """Task-model glue heads (reference src/gqa/gqa_ood_model.py:62-112):
+    logit_fc / encoder_adj / node_fc / fusion_fc built exactly as the
+    reference defines them (the full GQAModel cannot be instantiated offline
+    - its __init__ downloads BERT weights), with the reference's own GeLU /
+    BertLayerNorm modules. Includes the relation/representation glue math:
+    triu scatter + symmetrize (gqa_ood.py:181-187) and
+    fusion_fc(cat[x, tanh(mean(nodes))]) (gqa_ood.py:201-204)."""
+    import torch
+    import torch.nn as nn
+    from lxrt.modeling import GeLU, BertLayerNorm
+
+    torch.manual_seed(9)
+    hid, num_ans = 64, 16
+    logit_fc = nn.Sequential(nn.Linear(hid, hid * 2), GeLU(),
+                             BertLayerNorm(hid * 2, eps=1e-12),
+                             nn.Linear(hid * 2, num_ans))
+    encoder_adj = nn.Sequential(nn.Linear(hid, 630), nn.Sigmoid())
+    node_fc = nn.Sequential(nn.Linear(hid, hid), GeLU(), nn.LayerNorm(hid))
+    fusion_fc = nn.Sequential(nn.Linear(hid * 2, hid), GeLU(),
+                              nn.LayerNorm(hid))
+
+    rng = np.random.RandomState(4)
+    x = torch.from_numpy(rng.randn(3, hid).astype(np.float32))
+    nodes = torch.from_numpy(rng.randn(3, 36, hid).astype(np.float32))
+
+    with torch.no_grad():
+        logits = logit_fc(x)
+        # triu scatter + symmetrize (gqa_ood.py:181-187)
+        vals = encoder_adj(x)
+        adj = torch.zeros(3, 36, 36)
+        triu = torch.ones(3, 36, 36).triu(1)
+        adj[triu == 1] = vals.reshape(-1)
+        adj = adj + adj.transpose(1, 2)
+        node_out = node_fc(x.unsqueeze(1).repeat(1, 36, 1))
+        x_gen = fusion_fc(torch.cat([x, torch.tanh(nodes.mean(1))], dim=-1))
+
+    sd = {}
+    for name, mod in [("logit_fc", logit_fc), ("encoder_adj", encoder_adj),
+                      ("node_fc", node_fc), ("fusion_fc", fusion_fc)]:
+        for k, v in mod.state_dict().items():
+            sd[f"{name}.{k}"] = v.numpy()
+    np.savez_compressed(
+        os.path.join(OUT, "task_glue_tiny.npz"),
+        **{f"sd::{k}": v for k, v in sd.items()},
+        x=x.numpy(), nodes=nodes.numpy(),
+        out_logits=logits.numpy(), out_adj=adj.numpy(),
+        out_node=node_out.numpy(), out_xgen=x_gen.numpy())
+    print("task_glue_tiny.npz: logits mean", float(logits.mean()))
+
+
 def make_bert_adam_golden():
     import torch
     from lxrt.optimization import BertAdam
@@ -178,6 +229,7 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     setup_reference()
     make_lxrt_golden()
+    make_task_glue_golden()
     make_ggm_goldens()
     make_bert_adam_golden()
     make_loss_goldens()
