@@ -37,8 +37,13 @@ def main():
     from xggm_tpu.training.steps import TrainState, make_ggm_train_step
     from __graft_entry__ import _make_batch
 
+    import dataclasses
+
     cfg = gqa_ood_config()
-    cfg = cfg.replace(lxmert=cfg.lxmert.replace(dtype="bfloat16"))
+    cfg = cfg.replace(lxmert=cfg.lxmert.replace(
+        dtype="bfloat16",
+        bert=dataclasses.replace(cfg.lxmert.bert,
+                                 use_pallas_attention=True)))
     model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
 
     bs = cfg.train.batch_size  # 96, the shipped recipe (script/gqa_ood.sh)

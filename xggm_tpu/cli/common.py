@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=9595)
     p.add_argument("--fp16", action="store_const", default=False, const=True)
+    # accepted-but-inert flag, as in the reference (param.py:50: --space is
+    # threaded into VQADataset.__init__ which never reads it)
+    p.add_argument("--space", type=int, default=1, choices=[1, 9, 12])
     p.add_argument("--tf_writer", default=True,
                    type=lambda s: s in ("True", "true", "1", True))
     # Debugging (:55-58)
