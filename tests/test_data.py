@@ -109,3 +109,29 @@ def test_tiny_mode(data_root, tokenizer):
     dset = GQADataset("train", cfg)
     gbd = GraphBatchDataset(dset, tokenizer)
     assert len(gbd) == 24  # tiny caps at 512, dataset smaller
+
+
+def test_feeder_edge_cases(data_root, tokenizer):
+    cfg = DataConfig(data_root=data_root)
+    dset = GQADataset("train", cfg)
+    gbd = GraphBatchDataset(dset, tokenizer)
+
+    # batch larger than the dataset: one padded batch
+    feeder = Feeder(gbd, batch_size=64, shuffle=False, drop_last=False)
+    batches = list(feeder)
+    assert len(batches) == 1
+    qids, b, mask = batches[0]
+    assert len(qids) == 24 and mask.sum() == 24
+    assert b["feats"].shape[0] == 64
+
+    # drop_last with bs > len: zero batches
+    assert len(list(Feeder(gbd, batch_size=64, shuffle=False,
+                           drop_last=True))) == 0
+
+    # shuffling differs across epochs but is seeded-deterministic
+    f1 = Feeder(gbd, batch_size=8, shuffle=True, seed=1)
+    e1 = [qids for qids, _, _ in f1]
+    e2 = [qids for qids, _, _ in f1]  # second epoch, same feeder
+    assert e1 != e2
+    f2 = Feeder(gbd, batch_size=8, shuffle=True, seed=1)
+    assert e1 == [qids for qids, _, _ in f2]
