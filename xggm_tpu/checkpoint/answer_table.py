@@ -9,8 +9,7 @@ of the normalized answer string (articles stripped, number words mapped,
 """
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xggm_tpu.ggm.gnn import GCN, GIN, GAT, LinearGeluLn
-from xggm_tpu.ops.basic import gelu, dense
+from xggm_tpu.ops.basic import dense
 
 Array = jax.Array
 

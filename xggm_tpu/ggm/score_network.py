@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xggm_tpu.ops.noise import mask_adjs, node_feature_to_matrix, add_self_loops
+from xggm_tpu.ops.noise import mask_adjs, node_feature_to_matrix
 
 Array = jax.Array
 

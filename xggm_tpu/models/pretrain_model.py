@@ -9,7 +9,7 @@ LOSSES_NAME = (Mask_LM, Matched, Obj, Attr, Feat, QA)
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ encoder pooled output -> answer head only.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ wrapper (dim=None semantics: a single scalar norm per kernel).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

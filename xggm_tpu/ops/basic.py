@@ -5,7 +5,7 @@ LayerNorm flavors the reference mixes: eps 1e-12 (BertLayerNorm) and the
 torch default 1e-5 (GGM modules)."""
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ for the maximizable bounds, as in the reference).
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

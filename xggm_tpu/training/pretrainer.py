@@ -13,10 +13,7 @@ import numpy as np
 import optax
 
 from xggm_tpu.config import XGGMConfig
-from xggm_tpu.data.pretrain_data import (
-    LxmertPretrainDataset, PretrainFeaturizer, LxmertPretrainEvaluator,
-)
-from xggm_tpu.data.tokenizer import BertTokenizer
+from xggm_tpu.data.pretrain_data import PretrainFeaturizer
 from xggm_tpu.models.pretrain_model import PretrainModel, LOSSES_NAME
 from xggm_tpu.training.bert_adam import bert_adam
 from xggm_tpu.training.steps import TrainState

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from xggm_tpu.config import TrainConfig
-from xggm_tpu.models.task_model import XGGMModel, PlainModel
+from xggm_tpu.models.task_model import XGGMModel
 from xggm_tpu.ops.losses import bce_with_logits, symmetric_kl, score_matching_loss
 
 Array = jax.Array

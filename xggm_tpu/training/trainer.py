@@ -16,7 +16,6 @@ Orchestration redesigned TPU-first:
 """
 from __future__ import annotations
 
-import json
 import os
 import random
 import time
@@ -242,9 +241,7 @@ class XGGMTrainer:
         val_points = set(np.linspace(0, n_batches, 5, dtype=int)[1:-1].tolist())
 
         if self.profile_steps:
-            from xggm_tpu.utils import profiling
-            import jax as _jax
-            _jax.profiler.start_trace(os.path.join(self.output, "trace"))
+            jax.profiler.start_trace(os.path.join(self.output, "trace"))
 
         best_valid = 0.0
         train_iter = 0
@@ -264,8 +261,7 @@ class XGGMTrainer:
                                      branch="rel" if use_relation else "rep")
                 train_iter += 1
                 if self.profile_steps and train_iter == self.profile_steps:
-                    import jax as _jax
-                    _jax.profiler.stop_trace()
+                    jax.profiler.stop_trace()
 
                 if i in val_points and self.valid_set is not None:
                     acc = self.evaluate_valid()
