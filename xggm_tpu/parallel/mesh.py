@@ -66,6 +66,61 @@ def host_to_device(mesh: Mesh, tree_batch, tree_repl=None):
     return out, rep
 
 
+def param_shardings(params, mesh: Mesh, min_model_dim: int = 2048):
+    """Tensor-parallel sharding rules for the parameter tree.
+
+    Wide output projections (last kernel dim >= min_model_dim, e.g. the
+    answer head over a 16k VQA vocabulary or the 3072-wide FFN intermediate)
+    shard their output dim over the 'model' axis; matching biases shard too;
+    everything else replicates. XLA's SPMD partitioner then splits those
+    matmuls across the model axis and inserts the collectives - no model
+    code changes (the reference has no TP at all; this is scale headroom).
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    model_size = mesh.shape.get("model", 1)
+    shardings = []
+    wide_bias_paths = set()
+    # first pass: find wide kernels
+    wide = set()
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if (name.endswith("kernel") and leaf.ndim == 2
+                and leaf.shape[-1] >= min_model_dim
+                and leaf.shape[-1] % model_size == 0):
+            wide.add(name)
+            wide_bias_paths.add(name[: -len("kernel")] + "bias")
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if model_size > 1 and name in wide:
+            shardings.append(NamedSharding(mesh, P(None, "model")))
+        elif model_size > 1 and name in wide_bias_paths and leaf.ndim == 1:
+            shardings.append(NamedSharding(mesh, P("model")))
+        else:
+            shardings.append(NamedSharding(mesh, P()))
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def shard_like_params(tree, param_shardings_tree, mesh: Mesh):
+    """Shard an optimizer-state tree whose leaves mirror params (m/v moments)
+    with the params' shardings; non-mirroring leaves replicate."""
+    import jax
+
+    rep = NamedSharding(mesh, P())
+
+    def place(subtree):
+        try:
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, s), subtree,
+                param_shardings_tree)
+        except ValueError:
+            return jax.tree.map(lambda x: jax.device_put(x, rep), subtree)
+
+    return place(tree)
+
+
 def pad_batch_to(batch: Dict[str, np.ndarray], size: int
                  ) -> tuple[Dict[str, np.ndarray], np.ndarray]:
     """Pad every leaf's leading dim to `size`; returns (padded, valid_mask).
