@@ -103,6 +103,13 @@ class XGGMTrainer:
             weight_decay=cfg.train.weight_decay,
             lr_scale=jax.tree.map(
                 lambda s: s / cfg.train.downstream_lr_mult, scales))
+        if self.mesh is not None:
+            # place params on the mesh; with a model axis > 1 the wide
+            # projections (answer head, FFN) shard tensor-parallel
+            from xggm_tpu.parallel.mesh import param_shardings
+
+            psh = param_shardings(self.params, self.mesh)
+            self.params = jax.tree.map(jax.device_put, self.params, psh)
         self.state = TrainState(self.params, self.tx.init(self.params))
 
         self.rel_step = make_ggm_train_step(self.model, self.tx, cfg.train,
