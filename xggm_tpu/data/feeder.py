@@ -67,7 +67,10 @@ class Feeder:
                     qids = self.dataset.question_ids(idx)
                     batch = self.dataset.get_batch(idx)
                     batch, mask = pad_batch_to(batch, self.batch_size)
-                    q.put((qids, batch, mask))
+                    # device placement happens HERE, on the producer thread:
+                    # host->device transfer of batch N+1 overlaps the
+                    # device compute of batch N (jax dispatch is async)
+                    q.put((qids, self._place(batch), mask))
             finally:
                 q.put(SENTINEL)
 
@@ -77,7 +80,6 @@ class Feeder:
             item = q.get()
             if item is SENTINEL:
                 break
-            qids, batch, mask = item
-            yield qids, self._place(batch), mask
+            yield item
         t.join()
         self._epoch += 1
