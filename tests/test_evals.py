@@ -157,3 +157,44 @@ def test_vqa_eval_parity_with_reference():
     acc = ours.evaluate()
     assert acc["overall"] == pytest.approx(ref.accuracy["overall"])
     assert acc["perAnswerType"] == ref.accuracy["perAnswerType"]
+
+
+def test_gqa_eval_consistency_and_distribution(tmp_path):
+    questions = make_gqa_questions(tmp_path, n=8)
+    # entailment: q0 entails q1/q2
+    for qid in questions:
+        questions[qid]["entailed"] = []
+    questions["q0"]["entailed"] = ["q1", "q2"]
+    qfile = tmp_path / "q.json"
+    qfile.write_text(json.dumps(questions))
+
+    preds = {q: v["answer"] for q, v in questions.items()}
+    preds["q1"] = "wrong"  # breaks one entailed consistency + distribution
+    pfile = tmp_path / "p.json"
+    pfile.write_text(json.dumps(
+        [{"questionId": q, "prediction": a} for q, a in preds.items()]))
+    ev = GQAEval(str(pfile), str(qfile), eval_consistency=True)
+    # q0 correct with 2 entailed: q1 wrong, q2 right -> consistency 50
+    assert ev.scores["consistency"] == pytest.approx(50.0)
+    assert ev.scores["distribution"] > 0  # predicted dist deviates from gold
+
+
+def test_tail_size_sweep_and_plot(tmp_path):
+    from xggm_tpu.evals.gqa_eval import tail_size_sweep
+    from xggm_tpu.evals.plot_tail import plot_tail
+
+    questions = make_gqa_questions(tmp_path, n=10)
+    alpha_dir = tmp_path / "alpha_tail"
+    alpha_dir.mkdir()
+    for alpha in (1.0, 0.0):
+        (alpha_dir / f"val_bal_tail_{alpha:.1f}.json").write_text(
+            json.dumps(questions))
+    preds = [{"questionId": q, "prediction": v["answer"]}
+             for q, v in questions.items()]
+    pfile = tmp_path / "p.json"
+    pfile.write_text(json.dumps(preds))
+    alphas, accs = tail_size_sweep(str(pfile), str(alpha_dir), (1.0, 0.0))
+    assert accs == [pytest.approx(100.0)] * 2
+    out = plot_tail([a + 1 for a in alphas], accs, "t",
+                    out_path=str(tmp_path / "tail.pdf"))
+    assert os.path.exists(out)
