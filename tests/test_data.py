@@ -104,11 +104,38 @@ def test_vqacp_dataset_and_evaluator(data_root, tokenizer):
     assert oracle_score(gbd) == pytest.approx(1.0)
 
 
-def test_tiny_mode(data_root, tokenizer):
+def test_tiny_mode(data_root, tokenizer, monkeypatch):
     cfg = DataConfig(data_root=data_root, tiny=True)
     dset = GQADataset("train", cfg)
     gbd = GraphBatchDataset(dset, tokenizer)
     assert len(gbd) == 24  # tiny caps at 512, dataset smaller
+
+    # with a cap below the dataset size, tiny truncates the post-filter
+    # question records (reference gqa_ood_data.py:98-99)
+    import xggm_tpu.data.datasets as D
+    monkeypatch.setattr(D, "TINY_IMG_NUM", 7)
+    gbd = GraphBatchDataset(dset, tokenizer)
+    assert len(gbd) == 7
+
+    # --fast computes a topk in the reference but never applies it to task
+    # datasets (gqa_ood_data.py:62-63 vs :98): full size expected
+    cfg = DataConfig(data_root=data_root, fast=True)
+    gbd = GraphBatchDataset(GQADataset("train", cfg), tokenizer)
+    assert len(gbd) == 24
+
+
+def test_tokenizer_never_split():
+    vocab = make_test_vocab()
+    tok = BertTokenizer(vocab)
+    # special tokens survive basic tokenization verbatim: no lowercasing,
+    # no punctuation splitting (reference src/lxrt/tokenization.py:174-224)
+    assert tok.tokenize("what [SEP] dog") == ["what", "[SEP]", "dog"]
+    assert tok.tokenize("[MASK]") == ["[MASK]"]
+    # a non-special bracketed word still splits on punctuation:
+    # '[', ']' aren't vocab entries so they come back as [UNK] pieces
+    assert tok.tokenize("[dog]") == ["[UNK]", "dog", "[UNK]"]
+    ids = tok.convert_tokens_to_ids(tok.tokenize("what [SEP]"))
+    assert ids[-1] == vocab["[SEP]"]
 
 
 def test_feeder_edge_cases(data_root, tokenizer):

@@ -179,6 +179,90 @@ def test_gqa_eval_consistency_and_distribution(tmp_path):
     assert ev.scores["distribution"] > 0  # predicted dist deviates from gold
 
 
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_gqa_eval_parity_with_reference(tmp_path, monkeypatch):
+    """Cross-check GQAEval against the reference implementation on a shared
+    randomized fixture: accuracy/binary/open, distribution (chi-square),
+    consistency, validity/plausibility, head/tail confusion, and the
+    formatted result strings (reference eval/gqa_ood/gqa_eval.py)."""
+    sys.path.insert(0, os.path.join(REF, "eval", "gqa_ood"))
+    from gqa_eval import GQAEval as RefGQAEval
+
+    rng = np.random.RandomState(7)
+    answers = ["yes", "no", "red", "blue", "dog", "cat"]
+    structurals = ["query", "verify", "compare", "logic"]
+    semantics = ["attr", "rel", "obj"]
+    groups = ["color", "animal", None]
+    questions, choices = {}, {}
+    for i in range(60):
+        qid = f"q{i}"
+        gold = answers[rng.randint(len(answers))]
+        questions[qid] = {
+            "answer": gold,
+            "isBalanced": bool(rng.rand() < 0.8),
+            "question": " ".join(["w"] * rng.randint(3, 9)) + " ?",
+            "types": {
+                "structural": structurals[rng.randint(len(structurals))],
+                "semantic": semantics[rng.randint(len(semantics))],
+                "detailed": "chooseCommon" if rng.rand() < 0.2 else "x"},
+            "groups": {"global": groups[rng.randint(len(groups))]},
+            "semantic": [
+                {"operation": op, "argument": "a"}
+                for op in rng.choice(
+                    ["select", "exist", "query: name", "filter",
+                     "choose name", "relate"], size=rng.randint(1, 5))],
+            "ans_head": ["yes", "no", "dog"],
+            "ans_tail": ["red", "cat"],
+            "entailed": [],
+        }
+        choices[qid] = {"valid": answers[:4], "plausible": answers[:2]}
+    # entailment chains (every entailed qid must also be predicted)
+    questions["q0"]["entailed"] = ["q1", "q2"]
+    questions["q5"]["entailed"] = ["q5", "q6"]  # self-entailment is dropped
+    questions["q10"]["entailed"] = ["q11"]
+
+    # ~60% correct predictions, rest random wrong
+    preds = []
+    for qid, q in questions.items():
+        if rng.rand() < 0.6:
+            preds.append({"questionId": qid, "prediction": q["answer"]})
+        else:
+            preds.append({"questionId": qid,
+                          "prediction": answers[rng.randint(len(answers))]})
+
+    qfile, pfile, cfile = (tmp_path / n for n in
+                           ("q.json", "p.json", "c.json"))
+    qfile.write_text(json.dumps(questions))
+    pfile.write_text(json.dumps(preds))
+    cfile.write_text(json.dumps(choices))
+
+    monkeypatch.chdir(tmp_path)  # reference dumps gqa_reasoning.json to CWD
+    ref = RefGQAEval(str(pfile), str(qfile), choices_path=str(cfile),
+                     EVAL_CONSISTENCY=True, EVAL_HEAD_TAIL=True)
+    ours = GQAEval(str(pfile), str(qfile), choices_path=str(cfile),
+                   eval_consistency=True, eval_head_tail=True)
+
+    for k in ("accuracy", "binary", "open", "consistency", "validity",
+              "plausibility", "distribution"):
+        assert ours.scores[k] == pytest.approx(ref.scores[k]), k
+    for k in ("accuracyPerStructuralType", "accuracyPerSemanticType",
+              "accuracyPerSteps", "accuracyPerLength"):
+        assert set(ours.scores[k]) == set(ref.scores[k]), k
+        for t in ref.scores[k]:
+            assert ours.scores[k][t][0] == pytest.approx(
+                ref.scores[k][t][0]), (k, t)
+            assert ours.scores[k][t][1] == ref.scores[k][t][1], (k, t)
+    # head/tail confusion: same per-cell counts and correctness sums
+    for p in range(3):
+        for g in range(3):
+            o, r = ours.scores["head_tail"][p][g], ref.scores["head_tail"][p][g]
+            assert len(o) == len(r) and sum(o) == sum(r), (p, g)
+    assert ours.get_acc_result()["accuracy"] == pytest.approx(
+        ref.get_acc_result()["accuracy"])
+    lines, detail = ours.get_str_result()
+    assert lines == ref.result_string
+
+
 def test_tail_size_sweep_and_plot(tmp_path):
     from xggm_tpu.evals.gqa_eval import tail_size_sweep
     from xggm_tpu.evals.plot_tail import plot_tail

@@ -210,11 +210,14 @@ class GraphBatchDataset:
         self.store = store if store is not None else dataset.feature_store()
         self.records = dataset.records(self.store)
 
-        # --tiny/--fast subset modes (reference gqa_ood_data.py:60-65,98-99)
+        # --tiny subset mode: truncate to the first TINY_IMG_NUM question
+        # records *after* the in-vocab/feature filtering, exactly as the
+        # reference does (gqa_ood_data.py:98-99, vqacpv2_data.py:87-88).
+        # --fast computes a topk in the reference but never applies it to
+        # task datasets (only the pretrain path subsets by image) - keep
+        # that behavior so subset sizes match.
         if dataset.cfg.tiny:
             self.records = self.records[:TINY_IMG_NUM]
-        elif dataset.cfg.fast:
-            self.records = self.records[:FAST_IMG_NUM]
 
         # Tokenize once, up front.
         ids, mask, seg = encode_batch(

@@ -22,6 +22,7 @@ UNK_TOKEN = "[UNK]"
 CLS_TOKEN = "[CLS]"
 SEP_TOKEN = "[SEP]"
 MASK_TOKEN = "[MASK]"
+NEVER_SPLIT = (UNK_TOKEN, SEP_TOKEN, PAD_TOKEN, CLS_TOKEN, MASK_TOKEN)
 
 
 def load_vocab(vocab_file: str) -> Dict[str, int]:
@@ -71,16 +72,25 @@ def _is_cjk(cp: int) -> bool:
 
 
 class BasicTokenizer:
-    """Whitespace/punctuation/accent/CJK normalization pass."""
+    """Whitespace/punctuation/accent/CJK normalization pass.
 
-    def __init__(self, do_lower_case: bool = True):
+    Tokens in `never_split` (the BERT special tokens) pass through verbatim:
+    no lowercasing, accent stripping, or punctuation splitting (reference
+    src/lxrt/tokenization.py:174-224)."""
+
+    def __init__(self, do_lower_case: bool = True,
+                 never_split: Sequence[str] = NEVER_SPLIT):
         self.do_lower_case = do_lower_case
+        self.never_split = frozenset(never_split)
 
     def tokenize(self, text: str) -> List[str]:
         text = self._clean(text)
         text = self._space_cjk(text)
         tokens: List[str] = []
         for tok in text.strip().split():
+            if tok in self.never_split:
+                tokens.append(tok)
+                continue
             if self.do_lower_case:
                 tok = self._strip_accents(tok.lower())
             tokens.extend(self._split_punct(tok))

@@ -247,8 +247,10 @@ class XGGMTrainer:
         # mid-epoch validation points (reference gqa_ood.py:157)
         val_points = set(np.linspace(0, n_batches, 5, dtype=int)[1:-1].tolist())
 
+        trace_open = False
         if self.profile_steps:
             jax.profiler.start_trace(os.path.join(self.output, "trace"))
+            trace_open = True
 
         best_valid = 0.0
         train_iter = 0
@@ -267,8 +269,9 @@ class XGGMTrainer:
                 self.logger.log_step(train_iter, metrics,
                                      branch="rel" if use_relation else "rep")
                 train_iter += 1
-                if self.profile_steps and train_iter == self.profile_steps:
+                if trace_open and train_iter >= self.profile_steps:
                     jax.profiler.stop_trace()
+                    trace_open = False
 
                 if i in val_points and self.valid_set is not None:
                     acc = self.evaluate_valid()
@@ -327,6 +330,8 @@ class XGGMTrainer:
             print(log_line)
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_line + "\n")
+        if trace_open:  # run shorter than profile_steps: close the trace
+            jax.profiler.stop_trace()
         self.params = self.state.params
         return best_valid
 
@@ -339,6 +344,9 @@ class XGGMTrainer:
         quesid2ans: Dict[object, str] = {}
         for qids, batch, mask in feeder:
             preds = np.asarray(self.eval_step(self.state.params, batch))
+            # the feeder pads trailing rows; preds[:len(qids)] relies on that
+            assert bool(np.all(mask[: len(qids)])) and not np.any(
+                mask[len(qids):]), "feeder mask must be trailing padding"
             for qid, p in zip(qids, preds[: len(qids)]):
                 quesid2ans[qid] = self.label2ans[int(p)]
         if dump_path:
