@@ -38,7 +38,9 @@ def setup_reference():
 
 
 def flat_sd(module):
-    return {k: v.detach().cpu().numpy()
+    # .copy(): .numpy() on a CPU tensor ALIASES the live parameter storage -
+    # a later optimizer step would silently mutate the snapshot
+    return {k: v.detach().cpu().numpy().copy()
             for k, v in module.state_dict().items()}
 
 

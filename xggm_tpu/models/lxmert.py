@@ -68,8 +68,21 @@ class BertEmbeddings(nn.Module):
                             embedding_init=bert_normal_init(c.initializer_range),
                             param_dtype=jnp.float32, name="token_type_embeddings")
         seq_len = input_ids.shape[1]
-        position_ids = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
-        x = word_emb(input_ids) + pos_emb(position_ids) + type_emb(token_type_ids)
+        position_ids = jnp.broadcast_to(
+            jnp.arange(seq_len, dtype=jnp.int32)[None, :], input_ids.shape)
+
+        def lookup(emb, ids):
+            # padding_idx=0 semantics (reference modeling.py:284-290): torch
+            # zeroes the gradient flowing into row 0 of each table. With
+            # all-zero token_type_ids the type table never trains, and the
+            # position-0 ([CLS]) row is frozen - preserved for trajectory
+            # parity with the reference.
+            out = emb(ids)
+            return jnp.where((ids != 0)[..., None], out,
+                             jax.lax.stop_gradient(out))
+
+        x = lookup(word_emb, input_ids) + lookup(pos_emb, position_ids) \
+            + lookup(type_emb, token_type_ids)
         x = LayerNorm(epsilon=c.layer_norm_eps, name="LayerNorm")(x)
         x = nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
         return x.astype(self.dtype)

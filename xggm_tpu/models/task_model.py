@@ -144,21 +144,30 @@ class XGGMModel(nn.Module):
 
     def relation_branch(self, input_ids, input_mask, token_type_ids, feats,
                         boxes, adj_true, noise_key,
-                        deterministic: bool = False):
+                        deterministic: bool = False, noise_override=None):
         """Relation-generation branch (reference gqa_ood.py:180-231).
 
         Returns (logits, adj_gen, grad_log_noise, adj_true_nodiag) for the
         loss combination done in the train step.
+
+        noise_override: optional pre-drawn symmetric noise tensor replacing
+        the key-drawn Gaussian - used by trajectory-parity tests to replay
+        the exact noise the reference loop drew.
         """
-        from xggm_tpu.ops.noise import add_edge_noise, remove_self_loops
+        from xggm_tpu.ops.noise import (
+            add_edge_noise, apply_known_noise, remove_self_loops)
 
         feat_seq, _, pooled = self(input_ids, input_mask, token_type_ids,
                                    feats, boxes, deterministic=deterministic)
         visn = feat_seq[1]
         adj_true_nd = remove_self_loops(adj_true.astype(jnp.float32))
         adj_noise = self.encode_adjacency(pooled)
-        adj_noise, grad_log_noise = add_edge_noise(
-            noise_key, adj_noise, self.ggm.sigma)
+        if noise_override is not None:
+            adj_noise, grad_log_noise = apply_known_noise(
+                adj_noise, noise_override, self.ggm.sigma)
+        else:
+            adj_noise, grad_log_noise = add_edge_noise(
+                noise_key, adj_noise, self.ggm.sigma)
         node_feats, adj_gen = self.generate(
             node_feats=visn, adj=adj_noise.astype(visn.dtype),
             deterministic=deterministic)
@@ -168,20 +177,27 @@ class XGGMModel(nn.Module):
 
     def representation_branch(self, input_ids, input_mask, token_type_ids,
                               feats, boxes, adj_true, noise_key,
-                              deterministic: bool = False):
+                              deterministic: bool = False,
+                              noise_override=None):
         """Representation-generation branch (reference gqa_ood.py:232-280).
 
         Returns (logits, node_feats_gen, feat_grad, visn_feats).
         """
-        from xggm_tpu.ops.noise import add_feature_noise, remove_self_loops
+        from xggm_tpu.ops.noise import (
+            add_feature_noise, apply_known_noise, remove_self_loops)
 
         feat_seq, _, pooled = self(input_ids, input_mask, token_type_ids,
                                    feats, boxes, deterministic=deterministic)
         visn = feat_seq[1]
         adj_true_nd = remove_self_loops(adj_true.astype(jnp.float32))
         node_feats = self.node_features_from_pooled(pooled)
-        node_feats, feat_grad = add_feature_noise(
-            noise_key, node_feats.astype(jnp.float32), self.ggm.sigma)
+        if noise_override is not None:
+            node_feats, feat_grad = apply_known_noise(
+                node_feats.astype(jnp.float32), noise_override,
+                self.ggm.sigma)
+        else:
+            node_feats, feat_grad = add_feature_noise(
+                noise_key, node_feats.astype(jnp.float32), self.ggm.sigma)
         node_feats, _ = self.generate(
             node_feats=node_feats.astype(visn.dtype),
             adj=adj_true_nd.astype(visn.dtype),

@@ -41,6 +41,15 @@ def add_edge_noise(key: Array, adjs: Array, sigma: float = 0.2
     return adjs + noise, grad_log_noise
 
 
+def apply_known_noise(x: Array, noise: Array, sigma: float
+                      ) -> Tuple[Array, Array]:
+    """Apply a pre-drawn noise tensor with the score target the reference
+    noise ops would produce for that draw: (x + noise, -noise / sigma^2).
+    Lets trajectory-parity tests replay noise recorded from the reference
+    loop (graph_utils.py:133-168 semantics with injected epsilon)."""
+    return x + noise.astype(x.dtype), -(noise.astype(jnp.float32)) / (sigma ** 2)
+
+
 def add_feature_noise(key: Array, feats: Array, sigma: float = 0.2
                       ) -> Tuple[Array, Array]:
     """Gaussian node-feature noise + score target (reference

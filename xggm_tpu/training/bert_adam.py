@@ -9,6 +9,17 @@ exactly - including the quirks that silently change training dynamics:
 * Per-step scheduled lr with `progress = step / t_total` evaluated BEFORE the
   step counter increments (optimization.py:176-195) - so the very first
   optimizer step applies lr = 0 under warmup schedules.
+* PER-PARAM step counters with lazy activation (optimization.py:130-142,195
+  under torch 1.7.1, the reference's pinned version): a parameter is skipped
+  entirely until the first update where it has a gradient (`p.grad is None`
+  -> continue); torch 1.7.1's zero_grad() keeps zeroed grad tensors
+  afterwards, so from first participation on the param updates EVERY
+  optimizer step (moment decay + weight decay on zero grads) with its OWN
+  counter starting at 0. With X-GGM's branch structure this matters: e.g.
+  node_fc only joins at the first representation batch and starts its warmup
+  there. Participation is detected as `any(g != 0)` - an all-zero gradient
+  tensor for a genuinely participating leaf does not occur in practice, and
+  XLA constant-folds the check for leaves that are symbolically zero.
 * warmup_linear is triangular and hits zero at t_total
   (optimization.py:42-48).
 * Per-group lr: the reference runs downstream params at 4x the encoder lr
@@ -56,9 +67,22 @@ SCHEDULES = {
 
 
 class BertAdamState(NamedTuple):
-    count: jax.Array  # int32 step counter (pre-increment at lr eval)
+    count: jax.Array  # int32 global update counter (for logging/bookkeeping)
     m: Any
     v: Any
+    # per-leaf scalar int32 counters + bool activation flags (reference
+    # optimization.py:130-142,195: per-param state['step'], None-grad skip)
+    leaf_count: Any = None
+    active: Any = None
+
+
+class FusedGradientTransformation(NamedTuple):
+    """optax GradientTransformation + a fused clip-update-apply fast path
+    (consumed by training/steps._clip_update_apply)."""
+
+    init: Callable
+    update: Callable
+    fused_step: Callable  # (grads, state, params, clip) -> (params, state)
 
 
 def bert_adam(lr: float,
@@ -69,7 +93,8 @@ def bert_adam(lr: float,
               b2: float = 0.999,
               eps: float = 1e-6,
               weight_decay: float = 0.01,
-              lr_scale: Optional[Any] = None) -> optax.GradientTransformation:
+              lr_scale: Optional[Any] = None,
+              fused: bool = False) -> optax.GradientTransformation:
     """Adam-without-bias-correction with scheduled lr and decoupled wd.
 
     Args:
@@ -92,36 +117,116 @@ def bert_adam(lr: float,
             count=jnp.zeros((), jnp.int32),
             m=jax.tree.map(jnp.zeros_like, params),
             v=jax.tree.map(jnp.zeros_like, params),
+            leaf_count=jax.tree.map(
+                lambda _: jnp.zeros((), jnp.int32), params),
+            active=jax.tree.map(
+                lambda _: jnp.zeros((), jnp.bool_), params),
         )
+
+    def leaf_lr(cnt):
+        if t_total != -1 and warmup != -1:
+            progress = cnt.astype(jnp.float32) / float(t_total)
+            return lr * sched_fn(progress, warmup)
+        return jnp.float32(lr)
 
     def update_fn(grads, state, params=None):
         if params is None:
             raise ValueError("bert_adam requires params (decoupled weight decay)")
-        m = jax.tree.map(lambda mm, g: b1 * mm + (1.0 - b1) * g, state.m, grads)
+        # lazy per-leaf activation: skipped until the first nonzero gradient
+        # (reference optimization.py:130 `if p.grad is None: continue` +
+        # torch 1.7.1 zero_grad() keeping zeroed tensors afterwards)
+        active = jax.tree.map(lambda a, g: a | jnp.any(g != 0),
+                              state.active, grads)
+        m = jax.tree.map(lambda mm, g: b1 * mm + (1.0 - b1) * g,
+                         state.m, grads)
         v = jax.tree.map(lambda vv, g: b2 * vv + (1.0 - b2) * g * g,
                          state.v, grads)
 
-        if t_total != -1 and warmup != -1:
-            progress = state.count.astype(jnp.float32) / float(t_total)
-            lr_t = lr * sched_fn(progress, warmup)
-        else:
-            lr_t = jnp.float32(lr)
-
-        def make_update(mm, vv, p, scale):
+        def make_update(mm, vv, p, cnt, a, scale):
             u = mm / (jnp.sqrt(vv) + eps)
             if weight_decay > 0.0:
                 u = u + weight_decay * p
-            return -(lr_t * scale) * u
+            return jnp.where(a, -(leaf_lr(cnt) * scale) * u,
+                             jnp.zeros_like(u))
 
-        if lr_scale is None:
-            updates = jax.tree.map(
-                lambda mm, vv, p: make_update(mm, vv, p, 1.0), m, v, params)
-        else:
-            updates = jax.tree.map(make_update, m, v, params, lr_scale)
+        scales = lr_scale if lr_scale is not None \
+            else jax.tree.map(lambda _: 1.0, params)
+        updates = jax.tree.map(make_update, m, v, params, state.leaf_count,
+                               active, scales)
+        # inactive leaves keep zero moments (m = b1*0 + 0) so no masking is
+        # needed for m/v; counters advance only while active
+        leaf_count = jax.tree.map(
+            lambda c, a: c + a.astype(jnp.int32), state.leaf_count, active)
+        return updates, BertAdamState(count=state.count + 1, m=m, v=v,
+                                      leaf_count=leaf_count, active=active)
 
-        return updates, BertAdamState(count=state.count + 1, m=m, v=v)
-
+    if fused:
+        return FusedGradientTransformation(
+            init_fn, update_fn,
+            make_fused_bert_adam_step(
+                lr=lr, warmup=warmup, t_total=t_total, schedule=schedule,
+                b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+                lr_scale=lr_scale))
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_fused_bert_adam_step(lr: float,
+                              warmup: float = -1.0,
+                              t_total: int = -1,
+                              schedule: str = "warmup_linear",
+                              b1: float = 0.9,
+                              b2: float = 0.999,
+                              eps: float = 1e-6,
+                              weight_decay: float = 0.01,
+                              lr_scale: Optional[Any] = None) -> Callable:
+    """Clip + BertAdam update + apply as ONE fused pass over HBM per leaf
+    (Pallas kernel, ops/pallas_optim.py). Numerically identical to
+    clip_by_global_norm + bert_adam().update + optax.apply_updates.
+
+    Returns step(grads, state, params, clip) -> (new_params, new_state).
+    """
+    import optax
+
+    from xggm_tpu.ops.pallas_optim import fused_adam_leaf
+
+    sched_fn = SCHEDULES[schedule]
+
+    def leaf_lr(cnt):
+        if t_total != -1 and warmup != -1:
+            progress = cnt.astype(jnp.float32) / float(t_total)
+            return lr * sched_fn(progress, warmup)
+        return jnp.float32(lr)
+
+    def step(grads, state: BertAdamState, params, clip: float):
+        gnorm = optax.global_norm(grads)
+        clip_scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+        active = jax.tree.map(lambda a, g: a | jnp.any(g != 0),
+                              state.active, grads)
+        scales = lr_scale if lr_scale is not None \
+            else jax.tree.map(lambda _: 1.0, params)
+
+        treedef = jax.tree.structure(params)
+        flat = lambda t: treedef.flatten_up_to(t)  # noqa: E731
+        new_m, new_v, new_p = [], [], []
+        for g, mm, vv, p, cnt, a, scale in zip(
+                flat(grads), flat(state.m), flat(state.v), flat(params),
+                flat(state.leaf_count), flat(active), flat(scales)):
+            lr_eff = jnp.where(a, leaf_lr(cnt) * scale, 0.0)
+            mo, vo, po = fused_adam_leaf(
+                g, mm, vv, p, clip_scale, lr_eff,
+                b1=b1, b2=b2, eps=eps, wd=weight_decay)
+            new_m.append(mo)
+            new_v.append(vo)
+            new_p.append(po)
+        unflat = treedef.unflatten
+        leaf_count = jax.tree.map(
+            lambda c, x: c + x.astype(jnp.int32), state.leaf_count, active)
+        new_state = BertAdamState(
+            count=state.count + 1, m=unflat(new_m), v=unflat(new_v),
+            leaf_count=leaf_count, active=active)
+        return unflat(new_p), new_state
+
+    return step
 
 
 def lr_scale_tree(params: Any, predicate: Callable[[str], bool],

@@ -38,7 +38,13 @@ class TrainState(NamedTuple):
 
 def _clip_update_apply(tx, grads, state: TrainState, clip: float) -> TrainState:
     """External global-norm clip (reference gqa_ood.py:230: clip_grad_norm 5.0)
-    then one optimizer step."""
+    then one optimizer step. A transform exposing `fused_step` (the Pallas
+    single-pass BertAdam, training/bert_adam.py) performs clip+update+apply
+    in one traversal of HBM."""
+    fused = getattr(tx, "fused_step", None)
+    if fused is not None:
+        params, opt_state = fused(grads, state.opt_state, state.params, clip)
+        return TrainState(params, opt_state)
     gnorm = optax.global_norm(grads)
     scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
     grads = jax.tree.map(lambda g: g * scale, grads)
@@ -61,10 +67,14 @@ def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
     sigma = model.ggm.sigma
 
     def ggm_loss(params, batch, dropout_key, noise_key):
+        # trajectory-parity tests replay reference-drawn noise via an
+        # optional batch entry; absent in real training
+        noise_override = batch.get("noise_override")
         if branch == "relation":
             logits, adj_gen, grad_log, adj_true = model.apply(
                 params, *_batch_args(batch), batch["adj"], noise_key,
                 deterministic=False, rngs={"dropout": dropout_key},
+                noise_override=noise_override,
                 method=XGGMModel.relation_branch)
             # reference gqa_ood.py:192-197 / vqacpv2.py:208-212
             d_loss = symmetric_kl(adj_gen, adj_true) * num_ans
@@ -75,6 +85,7 @@ def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
             logits, node_gen, feat_grad, visn = model.apply(
                 params, *_batch_args(batch), batch["adj"], noise_key,
                 deterministic=False, rngs={"dropout": dropout_key},
+                noise_override=noise_override,
                 method=XGGMModel.representation_branch)
             # reference gqa_ood.py:241-246
             d_loss = symmetric_kl(node_gen, visn) * num_ans
