@@ -2,36 +2,117 @@
 
 Measures the full two-phase training step (GGM relation branch + clean phase,
 two BertAdam updates - the reference's per-batch work, SURVEY.md §3.1) on the
-flagship GQA-OOD configuration (LXMERT 9/5/5, hidden 768, bs 96, bf16 compute)
-and reports QA pairs/sec/chip.
+flagship GQA-OOD configuration (LXMERT 9/5/5, hidden 768, bs 96, bf16
+compute, rbg PRNG for dropout, bf16 feature transfer), and reports:
+
+  value                : steady-state step throughput (QA pairs/s/chip) -
+                         the same metric as round 1
+  e2e_pairs_per_sec    : end-to-end throughput with the REAL input pipeline -
+                         xpack-backed feeder producing fresh batches, host
+                         branch draw alternating relation/representation
+                         (the reference's per-batch behavior, gqa_ood.py:177)
+
+bs 96 is the recipe-pinned batch (script/gqa_ood.sh); larger batches amortize
+the per-update optimizer cost further (bs 384 reached 1003 pairs/s on the
+round-1 build).
 
 Baseline basis (BASELINE.md): the reference repo publishes no throughput;
 the north-star is >=5x a PyTorch-GPU baseline that must itself be measured.
-No GPU exists in this environment, so we use an analytic estimate of the
-reference stack: ~130 GFLOP per QA pair per full batch step (2x fwd/bwd of
-the 19-layer encoder at 20+36 tokens + GGM), on a V100 at ~10 TFLOP/s
-effective => ~75 QA pairs/sec. vs_baseline is measured_throughput divided by
-5x that estimate (375 pairs/s), so vs_baseline >= 1.0 means the 5x
-north-star target is met.
+`tools/measure_torch_baseline.py` measures the reference stack on this host
+(torch CPU, per-pair FLOPs via torch.profiler, host tokenization cost) and
+derives the V100 number from the measured FLOP count + a documented 35%-MFU
+assumption; it writes baseline_measured.json, which this script reads.
+vs_baseline is measured_throughput / (5 x derived V100 pairs/s), so
+vs_baseline >= 1.0 means the 5x north-star target is met. If the measured
+file is absent, the round-1 analytic estimate (75 pairs/s) is the fallback.
 """
 from __future__ import annotations
 
 import json
+import os
+import random
 import time
 
 import numpy as np
 
-PYTORCH_V100_ESTIMATE_PAIRS_PER_SEC = 75.0
+HERE = os.path.dirname(os.path.abspath(__file__))
+PYTORCH_V100_ESTIMATE_PAIRS_PER_SEC = 75.0  # analytic fallback (round 1)
 TARGET_MULT = 5.0
-BASELINE = PYTORCH_V100_ESTIMATE_PAIRS_PER_SEC * TARGET_MULT
+E2E_IMAGES, E2E_QUESTIONS = 256, 4032
+
+
+def _baseline_pairs_per_sec() -> float:
+    path = os.path.join(HERE, "baseline_measured.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return float(json.load(f)["v100_pairs_per_sec"])
+    return PYTORCH_V100_ESTIMATE_PAIRS_PER_SEC
+
+
+BASELINE = _baseline_pairs_per_sec() * TARGET_MULT
+
+
+class _PadTargets:
+    """Widen the synthetic corpus' answer targets to the flagship head size
+    so e2e batches match the already-compiled step graphs exactly."""
+
+    def __init__(self, inner, num_answers: int):
+        self.inner = inner
+        self.num_answers = num_answers
+
+    def __len__(self):
+        return len(self.inner)
+
+    def question_ids(self, idx):
+        return self.inner.question_ids(idx)
+
+    def get_batch(self, idx):
+        b = self.inner.get_batch(idx)
+        t = b["target"]
+        out = np.zeros((t.shape[0], self.num_answers), t.dtype)
+        out[:, : t.shape[1]] = t
+        b["target"] = out
+        return b
+
+
+def _e2e_dataset(cfg):
+    """Synthetic GQA corpus converted to the native xpack format, cached in
+    .bench_data/ across runs."""
+    from xggm_tpu.data.datasets import GQADataset, GraphBatchDataset
+    from xggm_tpu.data.synthetic import make_synthetic_gqa, write_vocab
+    from xggm_tpu.data.tokenizer import BertTokenizer
+    from xggm_tpu.data.xpack import XPackFeatureStore, convert_h5_to_xpack
+    from xggm_tpu.config import DataConfig
+
+    root = os.path.join(HERE, ".bench_data")
+    pack = os.path.join(root, "train_obj36.xpack")
+    if not os.path.exists(pack):
+        make_synthetic_gqa(root, "train", n_images=E2E_IMAGES,
+                           n_questions=E2E_QUESTIONS, feat_dim=2048)
+        feat = os.path.join(root, "gqa_imgfeat")
+        convert_h5_to_xpack(
+            os.path.join(feat, "train_obj36.h5"),
+            os.path.join(feat, "train_obj36_info.json"),
+            os.path.join(feat, "train_obj36_adj_v2.h5"),
+            pack, feat_dim=2048)
+        write_vocab(os.path.join(root, "vocab.txt"))
+
+    tok = BertTokenizer.from_file(os.path.join(root, "vocab.txt"))
+    dset = GQADataset("train", DataConfig(data_root=root))
+    gbd = GraphBatchDataset(dset, tok, store=XPackFeatureStore(pack))
+    return _PadTargets(gbd, cfg.num_answers)
 
 
 def main():
     import jax
+    # rbg PRNG: dropout-mask generation is ~13% of the threefry step time on
+    # v5e; rbg is the TPU-native generator (tools/perf_probe.py measurements)
+    jax.config.update("jax_default_prng_impl", "rbg")
     from xggm_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
     from xggm_tpu.config import gqa_ood_config
+    from xggm_tpu.data.feeder import Feeder
     from xggm_tpu.models.task_model import XGGMModel
     from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
     from xggm_tpu.training.steps import TrainState, make_ggm_train_step
@@ -46,46 +127,98 @@ def main():
                                  use_pallas_attention=True)))
     model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
 
+    import jax.numpy as jnp
+
     bs = cfg.train.batch_size  # 96, the shipped recipe (script/gqa_ood.sh)
     rng = np.random.RandomState(0)
     batch = _make_batch(rng, bs, cfg.lxmert.bert.vocab_size,
                         cfg.lxmert.visual.visual_feat_dim, cfg.num_answers)
+    # bf16 compute -> bf16 feature transfer (same host-side cast the trainer
+    # feeder performs; halves the dominant host->device bytes)
+    batch["feats"] = batch["feats"].astype(jnp.bfloat16)
 
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch["input_ids"], batch["input_mask"], batch["segment_ids"],
         batch["feats"], batch["boxes"], batch["adj"], jax.random.PRNGKey(2),
         method=XGGMModel.init_all)
+    # downstream params at 4x the encoder lr (reference gqa_ood.py:122-133)
     scales = lr_scale_tree(params, lambda p: not p.startswith("params/lxrt"),
-                           4.0, 1.0)
+                           1.0, 0.25)
+    # fused=False: the single-pass Pallas BertAdam (ops/pallas_optim.py) is
+    # available but measured perf-neutral-to-slightly-slower in the full step
+    # (95.9 ms vs 93.6 ms) - its 132 per-leaf kernel launches offset the
+    # bandwidth savings at this parameter count
     tx = bert_adam(lr=4 * 5e-6, warmup=0.1, t_total=10_000, lr_scale=scales)
     state = TrainState(params, tx.init(params))
 
-    step = make_ggm_train_step(model, tx, cfg.train, "relation")
+    steps = {br: make_ggm_train_step(model, tx, cfg.train, br)
+             for br in ("relation", "representation")}
     batch = jax.device_put(batch)
 
-    # Warmup / compile. NOTE: a host readback (not block_until_ready) is the
-    # only reliable execution barrier through the axon TPU relay.
-    state, m = step(state, batch, jax.random.PRNGKey(0))
+    # Warmup / compile both branches. NOTE: a host readback (not
+    # block_until_ready) is the only reliable execution barrier through the
+    # axon TPU relay.
+    state, m = steps["relation"](state, batch, jax.random.PRNGKey(0))
+    float(m["clean_loss"])
+    state, m = steps["representation"](state, batch, jax.random.PRNGKey(0))
     float(m["clean_loss"])
 
+    # ---- phase 1: steady-state step throughput (cached input) ----
     n_iters = 30
     t0 = time.perf_counter()
     for i in range(n_iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
-    # the last step's metrics depend on the whole state chain
-    final_loss = float(metrics["clean_loss"])
+        state, metrics = steps["relation"](state, batch,
+                                           jax.random.PRNGKey(i + 1))
+    final_loss = float(metrics["clean_loss"])  # syncs the whole chain
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss), "non-finite loss in bench run"
+    step_pairs_per_sec = bs * n_iters / dt
 
-    pairs_per_sec = bs * n_iters / dt
-    n_chips = 1  # bench runs on the single real chip
-    value = pairs_per_sec / n_chips
+    # ---- phase 2: end-to-end with the real input pipeline ----
+    gbd = _e2e_dataset(cfg)
+    host_rng = random.Random(0)
+    feeder = Feeder(gbd, bs, shuffle=True, drop_last=True, seed=0,
+                    feats_dtype=jnp.bfloat16)
+    # one warmup pass over a couple of batches (fresh shapes already match)
+    it = iter(feeder)
+    _, b0, _ = next(it)
+    state, m = steps["relation"](state, b0, jax.random.PRNGKey(0))
+    float(m["clean_loss"])
+    del it
+
+    # host assembly rate alone: proves the input pipeline outruns the step
+    idx = np.arange(len(gbd))
+    t0 = time.perf_counter()
+    for i in range(8):
+        gbd.get_batch(idx[(i * 37) % (len(gbd) - bs):][:bs])
+    asm_pairs_per_sec = bs * 8 / (time.perf_counter() - t0)
+
+    n_e2e = 0
+    t0 = time.perf_counter()
+    for qids, dbatch, _mask in feeder:  # one epoch over the corpus
+        br = "relation" if host_rng.randint(1, 10) <= cfg.ggm.delta \
+            else "representation"
+        state, metrics = steps[br](state, dbatch, jax.random.PRNGKey(n_e2e))
+        n_e2e += 1
+    final_loss = float(metrics["clean_loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), "non-finite loss in e2e run"
+    e2e_pairs_per_sec = bs * n_e2e / dt
+
+    value = round(step_pairs_per_sec, 2)  # per chip; bench runs on one chip
     print(json.dumps({
         "metric": "train_qa_pairs_per_sec_per_chip",
-        "value": round(value, 2),
+        "value": value,
         "unit": "QA pairs/s/chip (LXMERT+GGM two-phase fwd/bwd, bs 96, bf16)",
         "vs_baseline": round(value / BASELINE, 3),
+        "e2e_pairs_per_sec": round(e2e_pairs_per_sec, 2),
+        "e2e_host_assembly_pairs_per_sec": round(asm_pairs_per_sec, 2),
+        "e2e_batches": n_e2e,
+        "e2e_note": ("e2e is bound by the axon relay's ~15 MB/s host->device "
+                     "link in this environment; host assembly outruns the "
+                     "step rate, so on a real TPU host (PCIe, GB/s) e2e "
+                     "converges to the step number"),
     }))
 
 

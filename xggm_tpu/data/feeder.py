@@ -22,7 +22,8 @@ from xggm_tpu.parallel.mesh import batch_sharding, pad_batch_to
 class Feeder:
     def __init__(self, dataset: GraphBatchDataset, batch_size: int,
                  shuffle: bool = False, drop_last: bool = False,
-                 seed: int = 9595, mesh=None, prefetch_depth: int = 2):
+                 seed: int = 9595, mesh=None, prefetch_depth: int = 2,
+                 feats_dtype=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -30,6 +31,11 @@ class Feeder:
         self.seed = seed
         self.mesh = mesh
         self.prefetch_depth = prefetch_depth
+        # Cast the (dominant) visual features on the HOST before transfer -
+        # when the model computes in bfloat16 the cast happens on entry to
+        # the first projection anyway, so shipping fp32 bytes over the
+        # host->device link is pure waste (2x the transfer volume).
+        self.feats_dtype = feats_dtype
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -66,6 +72,9 @@ class Feeder:
                 for idx in self._index_batches():
                     qids = self.dataset.question_ids(idx)
                     batch = self.dataset.get_batch(idx)
+                    if self.feats_dtype is not None:
+                        batch["feats"] = batch["feats"].astype(
+                            self.feats_dtype)
                     batch, mask = pad_batch_to(batch, self.batch_size)
                     # device placement happens HERE, on the producer thread:
                     # host->device transfer of batch N+1 overlaps the

@@ -51,6 +51,12 @@ class XGGMTrainer:
         self.cfg = cfg
         self.task = task
         self.mesh = mesh
+        # bf16 compute -> ship bf16 visual features (halves the dominant
+        # host->device transfer; the model casts them on entry regardless)
+        import jax.numpy as jnp
+        self._feats_dtype = (jnp.bfloat16
+                             if cfg.lxmert.compute_dtype == jnp.bfloat16
+                             else None)
         self.output = cfg.output
         os.makedirs(self.output, exist_ok=True)
 
@@ -242,7 +248,8 @@ class XGGMTrainer:
         cfg = self.cfg
         feeder = Feeder(self.train_set, cfg.train.batch_size, shuffle=True,
                         drop_last=True, seed=cfg.train.seed, mesh=self.mesh,
-                        prefetch_depth=cfg.data.prefetch_depth)
+                        prefetch_depth=cfg.data.prefetch_depth,
+                        feats_dtype=self._feats_dtype)
         n_batches = len(feeder)
         # mid-epoch validation points (reference gqa_ood.py:157)
         val_points = set(np.linspace(0, n_batches, 5, dtype=int)[1:-1].tolist())
@@ -305,7 +312,8 @@ class XGGMTrainer:
         one clean step per batch, no GGM phase."""
         cfg = self.cfg
         feeder = Feeder(self.train_set, cfg.train.batch_size, shuffle=True,
-                        drop_last=True, seed=cfg.train.seed, mesh=self.mesh)
+                        drop_last=True, seed=cfg.train.seed, mesh=self.mesh,
+                        feats_dtype=self._feats_dtype)
         best_valid, train_iter = 0.0, 0
         for epoch in range(cfg.train.epochs):
             quesid2ans: Dict[object, str] = {}
@@ -340,7 +348,8 @@ class XGGMTrainer:
         """No-grad prediction (reference gqa_ood.py:379-403): encoder + head
         only; padded batches masked out."""
         feeder = Feeder(dataset, max(self.cfg.train.batch_size, 64),
-                        shuffle=False, drop_last=False, mesh=self.mesh)
+                        shuffle=False, drop_last=False, mesh=self.mesh,
+                        feats_dtype=self._feats_dtype)
         quesid2ans: Dict[object, str] = {}
         for qids, batch, mask in feeder:
             preds = np.asarray(self.eval_step(self.state.params, batch))
