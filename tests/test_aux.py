@@ -114,3 +114,24 @@ def test_tf_bridge_mapping():
     assert not unmatched, unmatched[:4]
     seq, pooled = model.apply(merged, np.ones((2, 10), np.int32))
     assert np.all(np.isfinite(np.asarray(pooled)))
+
+
+def test_cli_prng_flag():
+    """--prng selects the jax PRNG implementation (default rbg, the
+    TPU-native dropout-bits generator)."""
+    import jax
+
+    from xggm_tpu.cli.common import build_parser, configure_prng
+
+    prev = jax.config.jax_default_prng_impl
+    try:
+        args = build_parser().parse_args(["--prng", "threefry2x32"])
+        configure_prng(args)
+        assert jax.config.jax_default_prng_impl == "threefry2x32"
+        assert build_parser().parse_args([]).prng == "rbg"
+        configure_prng(build_parser().parse_args([]))
+        assert jax.config.jax_default_prng_impl == "rbg"
+        k = jax.random.PRNGKey(0)
+        assert jax.random.bits(k, (4,)).shape == (4,)
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)

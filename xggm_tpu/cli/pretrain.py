@@ -4,13 +4,15 @@ from __future__ import annotations
 
 import os
 
-from xggm_tpu.cli.common import build_parser, to_config, seed_everything
+from xggm_tpu.cli.common import (build_parser, to_config,
+                                  seed_everything, configure_prng)
 
 
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
     seed_everything(args.seed)
+    configure_prng(args)
     from xggm_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 

@@ -6,7 +6,8 @@ from __future__ import annotations
 import os
 
 from xggm_tpu.cli.common import (
-    build_parser, to_config, seed_everything, make_mesh_if_requested,
+    build_parser, to_config, seed_everything, configure_prng,
+    make_mesh_if_requested,
     dump_args,
 )
 
@@ -14,6 +15,7 @@ from xggm_tpu.cli.common import (
 def main(argv=None):
     args = build_parser().parse_args(argv)
     seed_everything(args.seed)
+    configure_prng(args)
     from xggm_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
