@@ -49,6 +49,8 @@ def main():
                     help="jax_default_prng_impl override (e.g. rbg)")
     ap.add_argument("--fused", action="store_true",
                     help="use the fused Pallas BertAdam step")
+    ap.add_argument("--no_pallas", action="store_true",
+                    help="disable the Pallas attention kernels (XLA path)")
     args = ap.parse_args()
     variants = args.variants.split(",")
 
@@ -72,7 +74,7 @@ def main():
     cfg = cfg.replace(lxmert=cfg.lxmert.replace(
         dtype="bfloat16",
         bert=dataclasses.replace(cfg.lxmert.bert,
-                                 use_pallas_attention=True)))
+                                 use_pallas_attention=not args.no_pallas)))
     model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
     rng = np.random.RandomState(0)
     batch = _make_batch(rng, args.bs, cfg.lxmert.bert.vocab_size,
@@ -217,6 +219,59 @@ def main():
                 return float(np.asarray(out.opt_state.count))
             results["opt_only"] = timed(opt_step, st, grads,
                                         iters=args.iters, sync=sync_opt)
+
+    if "step_scan8" in variants:
+        # K two-phase steps inside ONE jit via lax.scan: a single dispatch
+        # round trip per K steps (the axon relay costs ~70 ms per dispatch;
+        # device compute is ~18 ms/step)
+        from xggm_tpu.ops.losses import score_matching_loss, symmetric_kl
+        num_ans = model.num_answers
+
+        def ggm_loss(p, b, dk, nk):
+            logits, adj_gen, grad_log, adj_true = model.apply(
+                p, *_batch_args(b), b["adj"], nk, deterministic=False,
+                rngs={"dropout": dk}, method=XGGMModel.relation_branch)
+            d_loss = symmetric_kl(adj_gen, adj_true) * num_ans
+            lg = score_matching_loss(adj_gen, grad_log, model.ggm.sigma)
+            return (bce_with_logits(logits, b["target"]) * num_ans
+                    + cfg.train.rel_sm_mult
+                    * (cfg.train.rel_d_mult * d_loss + lg))
+
+        def clean_loss(p, b, dk):
+            logits = model.apply(p, *_batch_args(b), deterministic=False,
+                                 rngs={"dropout": dk},
+                                 method=XGGMModel.clean_forward)
+            return bce_with_logits(logits, b["target"]) * num_ans
+
+        def body(state, key):
+            kg, kc = jax.random.split(key)
+            dk, nk = jax.random.split(kg)
+            l1, grads = jax.value_and_grad(ggm_loss)(state.params, batch,
+                                                     dk, nk)
+            state = _clip_update_apply(tx, grads, state, cfg.train.grad_clip)
+            l2, grads = jax.value_and_grad(clean_loss)(state.params, batch,
+                                                       kc)
+            state = _clip_update_apply(tx, grads, state, cfg.train.grad_clip)
+            return state, l2
+
+        import functools
+        K = 8
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi(state, keys):
+            return jax.lax.scan(body, state, keys)
+
+        params = fresh_params()
+        st = TrainState(params, tx.init(params))
+        keys = jax.random.split(jax.random.PRNGKey(0), K)
+        st, ls = multi(st, keys)
+        float(np.asarray(ls)[-1])
+        t0 = time.perf_counter()
+        reps = max(2, args.iters // K)
+        for i in range(reps):
+            st, ls = multi(st, jax.random.split(jax.random.PRNGKey(i), K))
+        float(np.asarray(ls)[-1])
+        results["step_scan8"] = (time.perf_counter() - t0) / (reps * K)
 
     if "fwd_clean" in variants:
         params = fresh_params()
