@@ -63,6 +63,31 @@ def test_trainer_on_mesh(env, tmp_path):
     assert len(preds) == 12
 
 
+def test_train_baseline(env, tmp_path):
+    """Plain-BCE baseline loop (reference vqacpv2_baseline.py): one clean
+    step per batch, runs to completion and logs."""
+    cfg = env.replace(output=str(tmp_path / "base_out"))
+    trainer = XGGMTrainer(cfg, task="gqa")
+    best = trainer.train_baseline()
+    assert 0.0 <= best <= 1.0
+    # ONE optimizer step per batch here: 4 batches/epoch -> count == 4
+    assert int(np.asarray(trainer.state.opt_state.count)) == 4
+    assert os.path.exists(os.path.join(cfg.output, "log.log"))
+
+
+def test_profile_trace_closes_on_short_run(env, tmp_path):
+    """profile_steps > total steps: the trace must still be closed at the
+    end of train() (regression: stop_trace only fired on exact equality)."""
+    cfg = env.replace(output=str(tmp_path / "prof_out"))
+    trainer = XGGMTrainer(cfg, task="gqa", profile_steps=10_000)
+    trainer.train()
+    # a leaked trace would make the next start_trace raise
+    import jax
+
+    jax.profiler.start_trace(str(tmp_path / "t2"))
+    jax.profiler.stop_trace()
+
+
 def test_checkpoint_roundtrip(env):
     trainer = XGGMTrainer(env, task="gqa")
     trainer.save("CKPT_TEST")

@@ -303,6 +303,8 @@ class XGGMTrainer:
             print(log_line)
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_line + "\n")
+        if trace_open:  # run shorter than profile_steps: close the trace
+            jax.profiler.stop_trace()
         # steps donate their input buffers; refresh the params alias
         self.params = self.state.params
         return best_valid
@@ -338,8 +340,6 @@ class XGGMTrainer:
             print(log_line)
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_line + "\n")
-        if trace_open:  # run shorter than profile_steps: close the trace
-            jax.profiler.stop_trace()
         self.params = self.state.params
         return best_valid
 
