@@ -88,6 +88,28 @@ def test_profile_trace_closes_on_short_run(env, tmp_path):
     jax.profiler.stop_trace()
 
 
+def test_mesh_disables_pallas_attention(env, tmp_path):
+    """Pallas custom calls don't auto-partition under GSPMD: the trainer
+    must fall back to the XLA attention path on a multi-device mesh."""
+    import dataclasses
+    import warnings
+
+    from xggm_tpu.parallel.mesh import make_mesh
+
+    cfg = env.replace(output=str(tmp_path / "pal_out"))
+    cfg = cfg.replace(lxmert=cfg.lxmert.replace(
+        bert=dataclasses.replace(cfg.lxmert.bert,
+                                 use_pallas_attention=True)))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        trainer = XGGMTrainer(cfg, task="gqa", mesh=make_mesh())
+    assert not trainer.cfg.lxmert.bert.use_pallas_attention
+    assert any("use_pallas_attention disabled" in str(x.message) for x in w)
+    # single-chip (no mesh): flag passes through untouched
+    trainer1 = XGGMTrainer(cfg, task="gqa")
+    assert trainer1.cfg.lxmert.bert.use_pallas_attention
+
+
 def test_checkpoint_roundtrip(env):
     trainer = XGGMTrainer(env, task="gqa")
     trainer.save("CKPT_TEST")

@@ -63,10 +63,56 @@ def main():
         assert np.array_equal(a, b), "bwd mask != fwd mask"
     print("gradients finite and VJP-mask-consistent", flush=True)
 
+    # --- BLHD layout path (natural [B, L, H, D], squeezed-head blocks) ---
+    from xggm_tpu.ops.pallas_attention import (
+        fused_attention_blhd, fused_attention_dropout_blhd,
+        _reference_attention_blhd)
+
+    B, H = 96, 12
+    q4 = q.reshape(B, H, Lq, D).transpose(0, 2, 1, 3)
+    k4 = k.reshape(B, H, Lk, D).transpose(0, 2, 1, 3)
+    v4 = v.reshape(B, H, Lk, D).transpose(0, 2, 1, 3)
+    bias4 = bias.reshape(B, H, Lk)[:, 0, :]
+
+    ref4, _ = jax.jit(_reference_attention_blhd)(q4, k4, v4, bias4)
+    out4 = jax.jit(fused_attention_blhd)(q4, k4, v4, bias4)
+    err4 = float(jnp.max(jnp.abs(out4.astype(jnp.float32)
+                                 - ref4.astype(jnp.float32))))
+    print(f"blhd no-dropout max err vs XLA: {err4:.6f}", flush=True)
+    assert err4 < 1e-2
+
+    fb = jax.jit(fused_attention_dropout_blhd, static_argnums=(5,))
+    b1 = np.asarray(fb(q4, k4, v4, bias4, jnp.int32(7), 0.5))
+    b2 = np.asarray(fb(q4, k4, v4, bias4, jnp.int32(7), 0.5))
+    b3 = np.asarray(fb(q4, k4, v4, bias4, jnp.int32(8), 0.5))
+    assert np.array_equal(b1, b2), "blhd dropout not deterministic per seed"
+    assert not np.array_equal(b1, b3), "blhd dropout ignores seed"
+    b0 = fb(q4, k4, v4, bias4, jnp.int32(7), 1e-9)
+    errb0 = float(jnp.max(jnp.abs(b0.astype(jnp.float32)
+                                  - out4.astype(jnp.float32))))
+    print(f"blhd rate->0 max err vs no-dropout: {errb0:.6f}", flush=True)
+    assert errb0 < 1e-2
+
+    def loss4(q4, k4, v4):
+        return jnp.sum(fused_attention_dropout_blhd(
+            q4, k4, v4, bias4, jnp.int32(3), 0.3).astype(jnp.float32) ** 2)
+
+    g4 = jax.jit(jax.grad(loss4, argnums=(0, 1, 2)))
+    ga = jax.tree.map(np.asarray, g4(q4, k4, v4))
+    gb = jax.tree.map(np.asarray, g4(q4, k4, v4))
+    for a, b in zip(ga, gb):
+        assert np.isfinite(a).all()
+        assert np.array_equal(a, b), "blhd bwd mask != fwd mask"
+    print("blhd gradients finite and VJP-mask-consistent", flush=True)
+
     # timing
     for name, fn, args in [
         ("pallas-dropout fwd", lambda: f(q, k, v, bias, jnp.int32(7), 0.1), ()),
         ("pallas fwd", lambda: jax.jit(fused_attention)(q, k, v, bias), ()),
+        ("blhd-dropout fwd", lambda: fb(q4, k4, v4, bias4, jnp.int32(7), 0.1),
+         ()),
+        ("blhd fwd", lambda: jax.jit(fused_attention_blhd)(q4, k4, v4, bias4),
+         ()),
     ]:
         r = fn()
         _ = np.asarray(r).ravel()[0]

@@ -71,7 +71,6 @@ class LxmertConfig:
     # Compute dtype for matmuls/activations. bfloat16 rides the MXU at full
     # rate; params and LayerNorm/softmax accumulation stay float32.
     dtype: str = "float32"
-    use_pallas_attention: bool = False
 
     @property
     def compute_dtype(self):

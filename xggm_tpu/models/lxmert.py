@@ -124,6 +124,11 @@ class Attention(nn.Module):
         v = v.reshape(B, Lk, h, d).transpose(0, 2, 1, 3)
 
         if c.use_pallas_attention and jax.default_backend() == "tpu":
+            # The flattened [B*H, L, D] kernels beat the layout-preserving
+            # BLHD variants (ops/pallas_attention.py) by ~21% full-step:
+            # the H<->L transpose copies here (~10 ms/step) are cheaper than
+            # the BLHD kernels' strided per-head VMEM loads + stack
+            # relayouts (113 vs 94 ms/step measured, tools/perf_probe.py).
             rate = c.attention_probs_dropout_prob
             if deterministic or rate == 0:
                 from xggm_tpu.ops.pallas_attention import mha_pallas

@@ -136,9 +136,17 @@ def _attn_probs(q, k, bias, scale):
     return jax.nn.softmax(s, axis=-1)
 
 
+def _seed_prng(seed_ref, ngrid):
+    """Seed the per-core PRNG with the scalar seed + every grid coordinate,
+    so forward and backward programs at the same grid point regenerate the
+    identical dropout mask regardless of grid rank."""
+    ids = tuple(pl.program_id(a) for a in range(ngrid))
+    pltpu.prng_seed(seed_ref[0], *ids)
+
+
 def _attention_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
-                                  o_ref, *, scale, rate):
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+                                  o_ref, *, scale, rate, ngrid=1):
+    _seed_prng(seed_ref, ngrid)
     p = _attn_probs(q_ref[:], k_ref[:], bias_ref[:], scale)
     m = _dropout_keep(p.shape, rate)
     o = jax.lax.dot_general(
@@ -150,9 +158,9 @@ def _attention_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
 
 def _attention_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
                                   g_ref, dq_ref, dk_ref, dv_ref,
-                                  *, scale, rate):
-    # regenerate the exact forward mask: same seed, same program_id
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+                                  *, scale, rate, ngrid=1):
+    # regenerate the exact forward mask: same seed, same grid coordinates
+    _seed_prng(seed_ref, ngrid)
     q, k, v = q_ref[:], k_ref[:], v_ref[:]
     p = _attn_probs(q, k, bias_ref[:], scale)
     m = _dropout_keep(p.shape, rate)
@@ -283,6 +291,282 @@ def mha_pallas_dropout(q: Array, k: Array, v: Array,
     out = fused_attention_dropout(qf, kf, vf, bias.astype(jnp.float32),
                                   seed, rate)
     return out.reshape(b, h, lq, d)
+
+
+# ---------------------------------------------------------------------------
+# BLHD layout path (EXPLORED AND REJECTED as the default — kept tested and
+# runnable as the record of the experiment): consumes q [B, Lq, H, D] /
+# k, v [B, Lk, H, D] — the free reshape of the projection output — instead
+# of the transposed [B, H, L, D], so the ~10 ms/step of transpose copies XLA
+# emits around the flattened kernels never happen. Each program's block
+# covers a batch group with ALL heads (contiguous DMA); the head loop runs
+# inside the kernel via keep-dims ref slices.
+#
+# Measured on v5e (tools/perf_probe.py, bs 96 bf16 rbg): full two-phase step
+# 113.2 ms vs 93.6 ms for the flattened path — the strided per-head VMEM
+# loads and fp32 stack relayouts cost ~2x what the transposes did. The
+# flattened [B*H, L, D] kernels stay the production path.
+#
+# Mosaic notes (probed on v5e): a squeezed/size-1 head block dim in the
+# second-to-last position violates the (8, 128)-divisible block rule;
+# value-level middle-axis slicing lowers to a ~10x-slower relayout; per-head
+# ref STORES crash the compile helper; a bf16 expand-dims reshape feeding
+# jnp.stack fails layout inference (stack fp32, cast after). The working
+# pattern is keep-dims ref LOADS (`ref[:, :, h:h+1, :]` + reshape) with one
+# stacked store.
+# ---------------------------------------------------------------------------
+
+
+def _blhd_specs(g, lq, lk, h, d):
+    # index maps take (*grid_indices, *scalar_prefetch_refs); block units
+    qspec = pl.BlockSpec((g, lq, h, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((g, lk, h, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((g, lk), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, bspec
+
+
+def _head_slices(q_ref, k_ref, v_ref, h):
+    """Keep-dims ref loads of head h, squeezed to [G, L, D]."""
+    qh = q_ref[:, :, h:h + 1, :]
+    kh = k_ref[:, :, h:h + 1, :]
+    vh = v_ref[:, :, h:h + 1, :]
+    g, lq, _, d = qh.shape
+    lk = kh.shape[1]
+    return (qh.reshape(g, lq, d), kh.reshape(g, lk, d),
+            vh.reshape(g, lk, d))
+
+
+def _attention_blhd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    bias = bias_ref[:]                     # [G, Lk]
+    outs = []
+    for h in range(q_ref.shape[2]):
+        q, k, v = _head_slices(q_ref, k_ref, v_ref, h)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # [G, Lq, Lk]
+        s = s * scale + bias[:, None, :].astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))        # [G, Lq, D]
+    # stack in fp32, cast once: Mosaic cannot layout-infer the bf16
+    # expand-dims reshape that a per-head cast would feed into stack
+    o_ref[:] = jnp.stack(outs, axis=2).astype(o_ref.dtype)
+
+
+def _fused_attention_blhd_impl(q: Array, k: Array, v: Array, bias: Array,
+                               group: int = 16) -> Array:
+    """q [B, Lq, H, D], k/v [B, Lk, H, D], bias [B, Lk] -> [B, Lq, H, D]."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    g = _pick_group(b, group)
+    qspec, kspec, bspec = _blhd_specs(g, lq, lk, h, d)
+    return pl.pallas_call(
+        functools.partial(_attention_blhd_kernel, scale=1.0 / (d ** 0.5)),
+        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+        grid=(b // g,),
+        in_specs=[qspec, kspec, kspec, bspec],
+        out_specs=qspec,
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, bias)
+
+
+def _reference_attention_blhd(q, k, v, bias):
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s / (q.shape[-1] ** 0.5) + bias[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return o.astype(q.dtype), p
+
+
+@jax.custom_vjp
+def fused_attention_blhd(q: Array, k: Array, v: Array, bias: Array) -> Array:
+    """Fused softmax attention in the natural [B, L, H, D] layout."""
+    return _fused_attention_blhd_impl(q, k, v, bias)
+
+
+def _fwd_blhd(q, k, v, bias):
+    return _fused_attention_blhd_impl(q, k, v, bias), (q, k, v, bias)
+
+
+def _bwd_blhd(res, g_out):
+    q, k, v, bias = res
+    _, p = _reference_attention_blhd(q, k, v, bias)   # [B, H, Lq, Lk] fp32
+    g32 = g_out.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * scale
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(bias))
+
+
+fused_attention_blhd.defvjp(_fwd_blhd, _bwd_blhd)
+
+
+def _attention_dropout_blhd_fwd_kernel(seed_ref, q_ref, k_ref, v_ref,
+                                       bias_ref, o_ref, *, scale, rate,
+                                       group):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    # bias_ref holds the FULL [B, Lk] bias (a g<8 block would violate the
+    # 8-sublane block rule); slice this program's batch rows dynamically
+    bias = bias_ref[pl.ds(pl.program_id(0) * group, group), :]
+    outs = []
+    # the head loop consumes PRNG bits in head order; the backward kernel
+    # reseeds identically and replays the same order -> identical masks
+    for h in range(q_ref.shape[2]):
+        q, k, v = _head_slices(q_ref, k_ref, v_ref, h)
+        p = _attn_probs(q, k, bias, scale)
+        m = _dropout_keep(p.shape, rate)
+        outs.append(jax.lax.dot_general(
+            (p * m).astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    o_ref[:] = jnp.stack(outs, axis=2).astype(o_ref.dtype)
+
+
+def _attention_dropout_blhd_bwd_kernel(seed_ref, q_ref, k_ref, v_ref,
+                                       bias_ref, g_ref, dq_ref, dk_ref,
+                                       dv_ref, *, scale, rate, group):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    bias = bias_ref[pl.ds(pl.program_id(0) * group, group), :]
+    dqs, dks, dvs = [], [], []
+    for h in range(q_ref.shape[2]):
+        q, k, v = _head_slices(q_ref, k_ref, v_ref, h)
+        gh = g_ref[:, :, h:h + 1, :]
+        g_, lq, _, d = gh.shape
+        g32 = gh.reshape(g_, lq, d).astype(jnp.float32)
+        p = _attn_probs(q, k, bias, scale)
+        m = _dropout_keep(p.shape, rate)
+        v32 = v.astype(jnp.float32)
+        pm = p * m
+        dvs.append(jax.lax.dot_general(
+            pm, g32, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        dp = jax.lax.dot_general(
+            g32, v32, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * m
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dqs.append(jax.lax.dot_general(
+            ds, k.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale)
+        dks.append(jax.lax.dot_general(
+            ds, q.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale)
+    dq_ref[:] = jnp.stack(dqs, axis=2).astype(dq_ref.dtype)
+    dk_ref[:] = jnp.stack(dks, axis=2).astype(dk_ref.dtype)
+    dv_ref[:] = jnp.stack(dvs, axis=2).astype(dv_ref.dtype)
+
+
+def _dropout_group(lq: int, lk: int) -> int:
+    """Batch-group size for the BLHD dropout kernel pair.
+
+    The unrolled per-head backward holds ~H live fp32 intermediates; at G=16
+    (and at G=8 for Lq=36 rows) that blows the 16 MB scoped-VMEM limit. The
+    forward MUST use the same (group, grid) as the backward so in-kernel
+    mask regeneration stays aligned."""
+    return 8 if lq <= 20 else 4
+
+
+def _fused_dropout_blhd_fwd_impl(q, k, v, bias, seed, rate, group=None):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    g = _pick_group(b, group or _dropout_group(lq, lk))
+    qspec, kspec, _ = _blhd_specs(g, lq, lk, h, d)
+    bspec = pl.BlockSpec((b, lk), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(b // g,),
+        in_specs=[qspec, kspec, kspec, bspec],
+        out_specs=qspec)
+    return pl.pallas_call(
+        functools.partial(_attention_dropout_blhd_fwd_kernel,
+                          scale=1.0 / (d ** 0.5), rate=rate, group=g),
+        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray([seed], jnp.int32), q, k, v, bias)
+
+
+def _fused_dropout_blhd_bwd_impl(q, k, v, bias, seed, rate, g_out,
+                                 group=None):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    g = _pick_group(b, group or _dropout_group(lq, lk))
+    qspec, kspec, _ = _blhd_specs(g, lq, lk, h, d)
+    bspec = pl.BlockSpec((b, lk), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(b // g,),
+        in_specs=[qspec, kspec, kspec, bspec, qspec],
+        out_specs=[qspec, kspec, kspec])
+    return pl.pallas_call(
+        functools.partial(_attention_dropout_blhd_bwd_kernel,
+                          scale=1.0 / (d ** 0.5), rate=rate, group=g),
+        out_shape=[jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, lk, h, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, lk, h, d), v.dtype)],
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray([seed], jnp.int32), q, k, v, bias, g_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention_dropout_blhd(q, k, v, bias, seed, rate):
+    """BLHD-layout fused attention with in-kernel inverted dropout on the
+    probabilities (rate static; seed a traced int32 scalar)."""
+    return _fused_dropout_blhd_fwd_impl(q, k, v, bias, seed, rate)
+
+
+def _fwd_drop_blhd(q, k, v, bias, seed, rate):
+    return _fused_dropout_blhd_fwd_impl(q, k, v, bias, seed, rate), \
+        (q, k, v, bias, seed)
+
+
+def _bwd_drop_blhd(rate, res, g_out):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _fused_dropout_blhd_bwd_impl(q, k, v, bias, seed, rate,
+                                              g_out)
+    return dq, dk, dv, jnp.zeros_like(bias), None
+
+
+fused_attention_dropout_blhd.defvjp(_fwd_drop_blhd, _bwd_drop_blhd)
+
+
+def _bias_2d(attn_bias: Optional[Array], b: int, lk: int) -> Array:
+    if attn_bias is None:
+        return jnp.zeros((b, lk), jnp.float32)
+    return attn_bias[:, 0, 0, :].astype(jnp.float32)
+
+
+def mha_pallas_blhd(q: Array, k: Array, v: Array,
+                    attn_bias: Optional[Array]) -> Array:
+    """[B, L, H, D] attention (no transposes at the kernel boundary).
+
+    attn_bias: [B, 1, 1, Lk] additive mask or None."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    return fused_attention_blhd(q, k, v, _bias_2d(attn_bias, b, lk))
+
+
+def mha_pallas_dropout_blhd(q: Array, k: Array, v: Array,
+                            attn_bias: Optional[Array], seed: Array,
+                            rate: float) -> Array:
+    """[B, L, H, D] wrapper for the BLHD dropout variant."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    return fused_attention_dropout_blhd(q, k, v, _bias_2d(attn_bias, b, lk),
+                                        seed, rate)
 
 
 def mha_pallas(q: Array, k: Array, v: Array,
