@@ -64,6 +64,72 @@ def test_fused_matches_reference_path():
     # (they only started moving at step 3; verified implicitly vs ref path)
 
 
+def test_flat_matches_reference_path():
+    """Flat single-buffer BertAdam == tree BertAdam, bit-for-bit trajectory
+    (incl. lazy activation, per-leaf counters, clipping, lr_scale)."""
+    rng = np.random.RandomState(0)
+    params = _tree(rng)
+    lr_scale = {"enc": {"w": 0.25, "b": 0.25},
+                "head": {"w": 1.0, "ln": 1.0}, "late": {"w": 1.0}}
+    kw = dict(lr=1e-2, warmup=0.1, t_total=12, weight_decay=0.01,
+              lr_scale=lr_scale)
+    ref_tx = bert_adam(**kw)
+    flat_tx = bert_adam(flat=True, **kw)
+
+    ref_state = TrainState(params, ref_tx.init(params))
+    fl_state = TrainState(params, flat_tx.init(params))
+
+    for step in range(6):
+        grads = _tree(rng, scale=10.0 if step == 2 else 0.5)  # step 2 clips
+        if step < 3:  # 'late' leaf joins at step 3 (lazy activation)
+            grads["late"]["w"] = jnp.zeros_like(grads["late"]["w"])
+        ref_state = _clip_update_apply(ref_tx, grads, ref_state, 5.0)
+        fl_state = _clip_update_apply(flat_tx, grads, fl_state, 5.0)
+
+        for (pr, pf) in zip(jax.tree.leaves(ref_state.params),
+                            jax.tree.leaves(fl_state.params)):
+            np.testing.assert_array_equal(np.asarray(pf), np.asarray(pr),
+                                          err_msg=f"step {step}")
+        np.testing.assert_array_equal(
+            np.asarray(fl_state.opt_state.leaf_count),
+            np.asarray(jax.tree.leaves(ref_state.opt_state.leaf_count)))
+
+    # late leaf: inactive for 3 steps -> count 3, not 6
+    lc = dict(zip([  # leaf order = tree_flatten order
+        "enc/b", "enc/w", "head/ln", "head/w", "late/w"],
+        np.asarray(fl_state.opt_state.leaf_count)))
+    assert lc["late/w"] == 3 and lc["enc/w"] == 6
+
+
+def test_flat_jits_and_donates():
+    """The flat step works under jit with donated state (the trainer's
+    usage) and keeps exact equality with the tree path."""
+    import functools
+
+    rng = np.random.RandomState(3)
+    params = _tree(rng)
+    kw = dict(lr=1e-2, warmup=0.1, t_total=20, weight_decay=0.01)
+    ref_tx = bert_adam(**kw)
+    flat_tx = bert_adam(flat=True, **kw)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step_flat(grads, state):
+        return _clip_update_apply(flat_tx, grads, state, 5.0)
+
+    ref_state = TrainState(params, ref_tx.init(params))
+    fl_state = TrainState(params, flat_tx.init(params))
+    for i in range(3):
+        grads = _tree(rng, scale=0.5)
+        ref_state = _clip_update_apply(ref_tx, grads, ref_state, 5.0)
+        fl_state = step_flat(grads, fl_state)
+    for (pr, pf) in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(fl_state.params)):
+        # jit fusion may FMA/reorder: 1-ulp tolerance (the eager test above
+        # is the bit-exact one)
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pr),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_lazy_activation_skips_weight_decay():
     """A never-used leaf must not decay (reference: p.grad is None -> skip)."""
     rng = np.random.RandomState(1)

@@ -49,6 +49,8 @@ def main():
                     help="jax_default_prng_impl override (e.g. rbg)")
     ap.add_argument("--fused", action="store_true",
                     help="use the fused Pallas BertAdam step")
+    ap.add_argument("--flat", action="store_true",
+                    help="use the flat single-buffer BertAdam state")
     ap.add_argument("--no_pallas", action="store_true",
                     help="disable the Pallas attention kernels (XLA path)")
     args = ap.parse_args()
@@ -88,7 +90,7 @@ def main():
     scales = lr_scale_tree(params, lambda p: not p.startswith("params/lxrt"),
                            1.0, 0.25)
     tx = bert_adam(lr=4 * 5e-6, warmup=0.1, t_total=10_000, lr_scale=scales,
-                   fused=args.fused)
+                   fused=args.fused, flat=args.flat)
     batch = jax.device_put(batch)
     # donated steps delete their input buffers: keep a host copy and
     # re-materialize fresh device params for every variant
