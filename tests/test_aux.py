@@ -135,3 +135,58 @@ def test_cli_prng_flag():
         assert jax.random.bits(k, (4,)).shape == (4,)
     finally:
         jax.config.update("jax_default_prng_impl", prev)
+
+
+def test_guard_check_step_finite():
+    """Failure detection (SURVEY §5.3): non-finite step metrics abort with a
+    diagnostic naming the offending scalars; array metrics are ignored."""
+    import numpy as np
+    import pytest
+
+    from xggm_tpu.utils.guard import TrainingDiverged, check_step_finite
+
+    check_step_finite(0, "rel", {"clean_loss": 1.0,
+                                 "preds": np.zeros(4, np.int32)})
+    with pytest.raises(TrainingDiverged, match="clean_loss=nan"):
+        check_step_finite(7, "rel", {"clean_loss": float("nan"),
+                                     "ggm_loss": 2.0})
+    with pytest.raises(TrainingDiverged, match="step 3.*branch='clean'"):
+        check_step_finite(3, "clean", {"loss": float("inf")})
+
+
+def test_trainer_aborts_on_nan_features(tmp_path):
+    """End-to-end: corrupt input features -> the train loop raises
+    TrainingDiverged instead of silently training on garbage."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from xggm_tpu.config import tiny_test_config, DataConfig, TrainConfig
+    from xggm_tpu.data.synthetic import make_synthetic_gqa, write_vocab
+    from xggm_tpu.training.trainer import XGGMTrainer
+    from xggm_tpu.utils.guard import TrainingDiverged
+
+    root = str(tmp_path / "data")
+    make_synthetic_gqa(root, "train", n_images=8, n_questions=16,
+                       feat_dim=32)
+    make_synthetic_gqa(root, "val", n_images=4, n_questions=8, feat_dim=32,
+                       seed=1)
+    write_vocab(os.path.join(root, "vocab.txt"))
+    cfg = tiny_test_config(
+        output=str(tmp_path / "out"),
+        data=DataConfig(train="train", data_root=root),
+        train=TrainConfig(batch_size=8, lr=1e-4, epochs=1, seed=1),
+    )
+    trainer = XGGMTrainer(cfg, task="gqa")
+
+    real_get_batch = trainer.train_set.get_batch
+
+    def poisoned(indices):
+        b = real_get_batch(indices)
+        b["feats"] = np.full_like(b["feats"], np.nan)
+        return b
+
+    trainer.train_set.get_batch = poisoned
+    with pytest.raises(TrainingDiverged):
+        trainer.train()

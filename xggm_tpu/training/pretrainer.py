@@ -15,6 +15,7 @@ import optax
 from xggm_tpu.config import XGGMConfig
 from xggm_tpu.data.pretrain_data import PretrainFeaturizer
 from xggm_tpu.models.pretrain_model import PretrainModel, LOSSES_NAME
+from xggm_tpu.utils.guard import check_step_finite
 from xggm_tpu.training.bert_adam import bert_adam
 from xggm_tpu.training.steps import TrainState
 
@@ -117,6 +118,7 @@ class LxmertPretrainer:
                 batch = jax.device_put(batch)
                 self.state, loss, losses, preds = self.train_step(
                     self.state, batch, self._next_key())
+                check_step_finite(n, "pretrain", {"loss": loss, **losses})
                 total_loss += float(loss)
                 for k, v in losses.items():
                     sums[k] = sums.get(k, 0.0) + float(v)

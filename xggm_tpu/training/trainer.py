@@ -30,6 +30,7 @@ from xggm_tpu.data.datasets import (
     oracle_score,
 )
 from xggm_tpu.data.feeder import Feeder
+from xggm_tpu.utils.guard import check_step_finite
 from xggm_tpu.data.tokenizer import BertTokenizer
 from xggm_tpu.models.task_model import XGGMModel
 from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
@@ -288,8 +289,9 @@ class XGGMTrainer:
                 for qid, p in zip(qids, preds[: len(qids)]):
                     quesid2ans[qid] = self.label2ans[int(p)]
 
-                self.logger.log_step(train_iter, metrics,
-                                     branch="rel" if use_relation else "rep")
+                branch_name = "rel" if use_relation else "rep"
+                check_step_finite(train_iter, branch_name, metrics)
+                self.logger.log_step(train_iter, metrics, branch=branch_name)
                 train_iter += 1
                 if trace_open and train_iter >= self.profile_steps:
                     jax.profiler.stop_trace()
@@ -340,6 +342,7 @@ class XGGMTrainer:
                 preds = np.asarray(metrics["preds"])
                 for qid, p in zip(qids, preds[: len(qids)]):
                     quesid2ans[qid] = self.label2ans[int(p)]
+                check_step_finite(train_iter, "clean", metrics)
                 self.logger.log_step(train_iter, metrics, branch="clean")
                 train_iter += 1
             train_acc = self.train_evaluator.evaluate(quesid2ans)
