@@ -217,6 +217,83 @@ def ref_setup():
     return model, sd0
 
 
+def test_full_depth_trajectory_parity():
+    """Same trajectory pin at the SHIPPED encoder depth (9/5/5 x 768,
+    script/gqa_ood.sh) - 2 steps, GQA ordering. The 2/1/1 cases above
+    exercise the composition cheaply; this one confirms nothing drifts when
+    the full 19-layer stack accumulates over a train step."""
+    global L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, BRANCH_PLAN
+    import copy
+    import dataclasses
+
+    import jax
+
+    from xggm_tpu.checkpoint.torch_bridge import (
+        convert_task_model, merge_into)
+    from xggm_tpu.config import gqa_ood_config
+    from xggm_tpu.models.task_model import XGGMModel
+    from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
+    from xggm_tpu.training.steps import TrainState, make_ggm_train_step
+
+    saved = (L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, list(BRANCH_PLAN))
+    try:
+        L_LAYERS, X_LAYERS, R_LAYERS = 9, 5, 5
+        N_STEPS = 2
+        BRANCH_PLAN[:2] = ["relation", "representation"]
+        model_t = _build_ref_model()
+        from make_goldens import flat_sd
+        sd0 = flat_sd(model_t)
+        batches = _make_np_batches(2)
+        records = _torch_trajectory(model_t, batches, "ggm_first")
+
+        cfg = gqa_ood_config()
+        cfg = cfg.replace(
+            num_answers=NUM_ANS,
+            ggm=dataclasses.replace(cfg.ggm, dropout=0.0, sigma=SIGMA),
+            lxmert=cfg.lxmert.replace(
+                bert=dataclasses.replace(
+                    cfg.lxmert.bert, hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0)))
+        assert (cfg.lxmert.visual.l_layers, cfg.lxmert.visual.x_layers,
+                cfg.lxmert.visual.r_layers) == (9, 5, 5)
+
+        model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
+        b0 = {k: v.astype(np.int32) if v.dtype == np.int64 else v
+              for k, v in batches[0].items()}
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            b0["input_ids"], b0["input_mask"], b0["segment_ids"],
+            b0["feats"], b0["boxes"], b0["adj"], jax.random.PRNGKey(2),
+            method=XGGMModel.init_all)
+        flat = convert_task_model(sd0, cfg.lxmert, gnn="GCN", n_layers=2)
+        params, unmatched = merge_into(params, flat)
+        assert not unmatched, unmatched[:5]
+
+        scales = lr_scale_tree(params,
+                               lambda p: not p.startswith("params/lxrt"),
+                               1.0, 0.25)
+        tx = bert_adam(lr=4 * LR, warmup=0.1, t_total=T_TOTAL,
+                       lr_scale=scales)
+        state = TrainState(params, tx.init(params))
+        steps = {br: make_ggm_train_step(model, tx, cfg.train, br)
+                 for br in ("relation", "representation")}
+        for i, rec in enumerate(records):
+            b = {k: v.astype(np.int32) if v.dtype == np.int64 else v
+                 for k, v in batches[i % len(batches)].items()}
+            b["noise_override"] = rec["noise"]
+            state, m = steps[BRANCH_PLAN[i]](state, b, jax.random.PRNGKey(i))
+            np.testing.assert_allclose(
+                float(m["ggm_loss"]), rec["ggm_loss"], rtol=5e-3,
+                err_msg=f"full-depth step {i} ggm loss")
+            np.testing.assert_allclose(
+                float(m["clean_loss"]), rec["clean_loss"], rtol=5e-3,
+                err_msg=f"full-depth step {i} clean loss")
+    finally:
+        L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, plan = saved
+        BRANCH_PLAN[:] = plan
+
+
 @pytest.mark.parametrize("ordering", ["ggm_first", "clean_first"])
 def test_two_phase_trajectory_parity(ref_setup, ordering):
     import copy
