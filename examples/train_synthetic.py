@@ -32,7 +32,6 @@ def main():
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
     import numpy as np
 
     from xggm_tpu.config import tiny_test_config

@@ -20,7 +20,7 @@ orders of magnitude less compute.
 from __future__ import annotations
 
 import argparse
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -51,6 +51,8 @@ def main():
                     help="use the fused Pallas BertAdam step")
     ap.add_argument("--flat", action="store_true",
                     help="use the flat single-buffer BertAdam state")
+    ap.add_argument("--pallas_group", type=int, default=None,
+                    help="override ops.pallas_attention.DEFAULT_GROUP")
     ap.add_argument("--no_pallas", action="store_true",
                     help="disable the Pallas attention kernels (XLA path)")
     args = ap.parse_args()
@@ -59,6 +61,9 @@ def main():
     import jax
     if args.prng:
         jax.config.update("jax_default_prng_impl", args.prng)
+    if args.pallas_group:
+        from xggm_tpu.ops import pallas_attention
+        pallas_attention.DEFAULT_GROUP = args.pallas_group
     import jax.numpy as jnp
     from xggm_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -27,6 +27,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+# Batch-group rows per program for the flattened [B*H, L, D] kernels.
+# Swept on v5e at the flagship shapes (tools/perf_probe.py --pallas_group,
+# full two-phase step): G=16 92.8 ms, G=32 90.8, G=64 90.6 - bigger groups
+# amortize per-program overhead and give the MXU deeper batched dots; gains
+# flatten past 32. VMEM at G=64 worst-case (Lq=Lk=36 dropout bwd) is ~6 MB
+# of the 16 MB scoped budget. _pick_group reduces G to a divisor of B*H for
+# other batch sizes.
+DEFAULT_GROUP = 64
+
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     q = q_ref[:]                        # [G, Lq, D]
@@ -46,13 +55,11 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
 
 
 def _fused_attention_fwd_impl(q: Array, k: Array, v: Array, bias: Array,
-                              group: int = 16) -> Array:
+                              group: int | None = None) -> Array:
     """q [BH, Lq, D], k/v [BH, Lk, D], bias [BH, Lk] -> [BH, Lq, D]."""
     bh, lq, d = q.shape
     lk = k.shape[1]
-    g = min(group, bh)
-    while bh % g:
-        g -= 1
+    g = _pick_group(bh, group)
     grid = (bh // g,)
 
     return pl.pallas_call(
@@ -200,14 +207,15 @@ def _dropout_specs(g, lq, lk, d):
     return qspec, kspec, bspec
 
 
-def _pick_group(bh, group=16):
+def _pick_group(bh, group=None):
+    group = group or DEFAULT_GROUP
     g = min(group, bh)
     while bh % g:
         g -= 1
     return g
 
 
-def _fused_dropout_fwd_impl(q, k, v, bias, seed, rate, group=16):
+def _fused_dropout_fwd_impl(q, k, v, bias, seed, rate, group=None):
     bh, lq, d = q.shape
     lk = k.shape[1]
     g = _pick_group(bh, group)
@@ -226,7 +234,8 @@ def _fused_dropout_fwd_impl(q, k, v, bias, seed, rate, group=16):
     )(jnp.asarray([seed], jnp.int32), q, k, v, bias)
 
 
-def _fused_dropout_bwd_impl(q, k, v, bias, seed, rate, g_out, group=16):
+def _fused_dropout_bwd_impl(q, k, v, bias, seed, rate, g_out,
+                            group=None):
     bh, lq, d = q.shape
     lk = k.shape[1]
     g = _pick_group(bh, group)
@@ -359,7 +368,7 @@ def _attention_blhd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
 
 
 def _fused_attention_blhd_impl(q: Array, k: Array, v: Array, bias: Array,
-                               group: int = 16) -> Array:
+                               group: int | None = None) -> Array:
     """q [B, Lq, H, D], k/v [B, Lk, H, D], bias [B, Lk] -> [B, Lq, H, D]."""
     b, lq, h, d = q.shape
     lk = k.shape[1]
