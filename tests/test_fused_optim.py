@@ -130,6 +130,38 @@ def test_flat_jits_and_donates():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_jnp_fused_matches_reference_path():
+    """Single-traversal jnp clip+update+apply == the three-stage tree path
+    (lazy activation, per-leaf counters, clipping, lr_scale)."""
+    rng = np.random.RandomState(0)
+    params = _tree(rng)
+    lr_scale = {"enc": {"w": 0.25, "b": 0.25},
+                "head": {"w": 1.0, "ln": 1.0}, "late": {"w": 1.0}}
+    kw = dict(lr=1e-2, warmup=0.1, t_total=12, weight_decay=0.01,
+              lr_scale=lr_scale)
+    ref_tx = bert_adam(**kw)
+    jf_tx = bert_adam(jnp_fused=True, **kw)
+
+    ref_state = TrainState(params, ref_tx.init(params))
+    jf_state = TrainState(params, jf_tx.init(params))
+    for step in range(6):
+        grads = _tree(rng, scale=10.0 if step == 2 else 0.5)
+        if step < 3:
+            grads["late"]["w"] = jnp.zeros_like(grads["late"]["w"])
+        ref_state = _clip_update_apply(ref_tx, grads, ref_state, 5.0)
+        jf_state = _clip_update_apply(jf_tx, grads, jf_state, 5.0)
+        for (pr, pf) in zip(jax.tree.leaves(ref_state.params),
+                            jax.tree.leaves(jf_state.params)):
+            np.testing.assert_allclose(np.asarray(pf), np.asarray(pr),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"step {step}")
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(jf_state.opt_state.leaf_count)),
+            np.asarray(jax.tree.leaves(ref_state.opt_state.leaf_count)))
+    assert int(jf_state.opt_state.leaf_count["late"]["w"]) == 3
+    assert int(jf_state.opt_state.leaf_count["enc"]["w"]) == 6
+
+
 def test_lazy_activation_skips_weight_decay():
     """A never-used leaf must not decay (reference: p.grad is None -> skip)."""
     rng = np.random.RandomState(1)

@@ -53,6 +53,8 @@ def main():
                     help="use the flat single-buffer BertAdam state")
     ap.add_argument("--pallas_group", type=int, default=None,
                     help="override ops.pallas_attention.DEFAULT_GROUP")
+    ap.add_argument("--jnp_fused", action="store_true",
+                    help="single-traversal jnp clip+update+apply")
     ap.add_argument("--no_pallas", action="store_true",
                     help="disable the Pallas attention kernels (XLA path)")
     args = ap.parse_args()
@@ -95,7 +97,7 @@ def main():
     scales = lr_scale_tree(params, lambda p: not p.startswith("params/lxrt"),
                            1.0, 0.25)
     tx = bert_adam(lr=4 * 5e-6, warmup=0.1, t_total=10_000, lr_scale=scales,
-                   fused=args.fused, flat=args.flat)
+                   fused=args.fused, flat=args.flat, jnp_fused=args.jnp_fused)
     batch = jax.device_put(batch)
     # donated steps delete their input buffers: keep a host copy and
     # re-materialize fresh device params for every variant

@@ -95,7 +95,8 @@ def bert_adam(lr: float,
               weight_decay: float = 0.01,
               lr_scale: Optional[Any] = None,
               fused: bool = False,
-              flat: bool = False) -> optax.GradientTransformation:
+              flat: bool = False,
+              jnp_fused: bool = False) -> optax.GradientTransformation:
     """Adam-without-bias-correction with scheduled lr and decoupled wd.
 
     Args:
@@ -173,7 +174,73 @@ def bert_adam(lr: float,
                 lr=lr, warmup=warmup, t_total=t_total, schedule=schedule,
                 b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
                 lr_scale=lr_scale))
+    if jnp_fused:
+        return FusedGradientTransformation(
+            init_fn, update_fn,
+            make_jnp_fused_step(
+                lr=lr, warmup=warmup, t_total=t_total, schedule=schedule,
+                b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+                lr_scale=lr_scale))
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_jnp_fused_step(lr: float,
+                        warmup: float = -1.0,
+                        t_total: int = -1,
+                        schedule: str = "warmup_linear",
+                        b1: float = 0.9,
+                        b2: float = 0.999,
+                        eps: float = 1e-6,
+                        weight_decay: float = 0.01,
+                        lr_scale: Optional[Any] = None) -> Callable:
+    """Clip + BertAdam update + apply in ONE tree traversal, pure jnp.
+
+    The three-stage tree path (scale grads -> update_fn's m/v/updates ->
+    optax.apply_updates) materializes the scaled-grads and updates trees and
+    leaves XLA with ~2-3 fusions per leaf; computing new params directly in
+    one per-leaf expression gives XLA a single g,m,v,p -> m,v,p loop per
+    leaf (the minimal HBM traffic) with no Pallas launch overhead.
+    Numerically the same math in the same dtype; XLA fusion may FMA/reorder
+    at the 1-ulp level.
+
+    Returns step(grads, state, params, clip) -> (new_params, new_state).
+    """
+    sched_fn = SCHEDULES[schedule]
+
+    def leaf_lr(cnt):
+        if t_total != -1 and warmup != -1:
+            progress = cnt.astype(jnp.float32) / float(t_total)
+            return lr * sched_fn(progress, warmup)
+        return jnp.float32(lr)
+
+    def step(grads, state: BertAdamState, params, clip: float):
+        gnorm = optax.global_norm(grads)
+        clip_scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+        active = jax.tree.map(lambda a, g: a | jnp.any(g != 0),
+                              state.active, grads)
+        scales = lr_scale if lr_scale is not None \
+            else jax.tree.map(lambda _: 1.0, params)
+
+        def leaf(g, m, v, p, cnt, a, s):
+            g = g * clip_scale
+            m2 = b1 * m + (1.0 - b1) * g
+            v2 = b2 * v + (1.0 - b2) * g * g
+            u = m2 / (jnp.sqrt(v2) + eps)
+            if weight_decay > 0.0:
+                u = u + weight_decay * p
+            return m2, v2, p - jnp.where(a, leaf_lr(cnt) * s, 0.0) * u
+
+        out = jax.tree.map(leaf, grads, state.m, state.v, params,
+                           state.leaf_count, active, scales)
+        outer = jax.tree.structure(params)
+        inner = jax.tree.structure((0, 0, 0))
+        m2, v2, p2 = jax.tree.transpose(outer, inner, out)
+        leaf_count = jax.tree.map(
+            lambda c, a: c + a.astype(jnp.int32), state.leaf_count, active)
+        return p2, BertAdamState(count=state.count + 1, m=m2, v=v2,
+                                 leaf_count=leaf_count, active=active)
+
+    return step
 
 
 def make_fused_bert_adam_step(lr: float,
