@@ -143,17 +143,9 @@ def _attn_probs(q, k, bias, scale):
     return jax.nn.softmax(s, axis=-1)
 
 
-def _seed_prng(seed_ref, ngrid):
-    """Seed the per-core PRNG with the scalar seed + every grid coordinate,
-    so forward and backward programs at the same grid point regenerate the
-    identical dropout mask regardless of grid rank."""
-    ids = tuple(pl.program_id(a) for a in range(ngrid))
-    pltpu.prng_seed(seed_ref[0], *ids)
-
-
 def _attention_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
-                                  o_ref, *, scale, rate, ngrid=1):
-    _seed_prng(seed_ref, ngrid)
+                                  o_ref, *, scale, rate):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     p = _attn_probs(q_ref[:], k_ref[:], bias_ref[:], scale)
     m = _dropout_keep(p.shape, rate)
     o = jax.lax.dot_general(
@@ -165,9 +157,9 @@ def _attention_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
 
 def _attention_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
                                   g_ref, dq_ref, dk_ref, dv_ref,
-                                  *, scale, rate, ngrid=1):
-    # regenerate the exact forward mask: same seed, same grid coordinates
-    _seed_prng(seed_ref, ngrid)
+                                  *, scale, rate):
+    # regenerate the exact forward mask: same seed, same program_id
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     q, k, v = q_ref[:], k_ref[:], v_ref[:]
     p = _attn_probs(q, k, bias_ref[:], scale)
     m = _dropout_keep(p.shape, rate)
