@@ -190,3 +190,22 @@ def test_trainer_aborts_on_nan_features(tmp_path):
     trainer.train_set.get_batch = poisoned
     with pytest.raises(TrainingDiverged):
         trainer.train()
+
+
+def test_cli_fp16_flag_maps_to_bf16():
+    """--fp16 (reference apex switch) selects bf16 compute on TPU even when
+    combined with an explicit --dtype float32."""
+    import warnings
+
+    from xggm_tpu.cli.common import build_parser, to_config
+
+    args = build_parser().parse_args(
+        ["--fp16", "--dtype", "float32", "--train", "train"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = to_config(args, "gqa")
+    assert cfg.lxmert.dtype == "bfloat16"
+    assert any("fp16" in str(x.message) for x in w)
+    # plain float32 without --fp16 stays float32
+    args = build_parser().parse_args(["--dtype", "float32"])
+    assert to_config(args, "gqa").lxmert.dtype == "float32"

@@ -114,6 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
 def to_config(args: argparse.Namespace, task: str) -> XGGMConfig:
     clean_first = (task == "vqa")  # reference ordering difference (§3.2)
     rel_d_mult = 8.0 if task == "vqa" else 12.0
+    # --fp16 is the reference's apex mixed-precision switch (param.py:52);
+    # the TPU analog is bf16 compute, which is already the default. The flag
+    # only matters when someone combines it with an explicit --dtype float32.
+    if getattr(args, "fp16", False) and args.dtype == "float32":
+        import warnings
+        warnings.warn("--fp16 requested with --dtype float32: using bf16 "
+                      "mixed precision (the TPU equivalent of apex fp16)")
+        args.dtype = "bfloat16"
     cfg = XGGMConfig(
         lxmert=LxmertConfig(
             bert=BertConfig(hidden_dropout_prob=args.dropout,
