@@ -83,6 +83,44 @@ def test_pretrainer_epoch(corpus, tmp_path):
     assert int(np.asarray(trainer.state.opt_state.count)) == 4
 
 
+def test_pretrainer_on_mesh(corpus, tmp_path):
+    """Mesh pretraining (reference DataParallels the whole model here,
+    lxmert_pretrain.py:255-256): batch sharded on 'data', loss identical to
+    the single-device run (same seed, same data)."""
+    import jax
+
+    from xggm_tpu.parallel.mesh import make_mesh
+    from xggm_tpu.training.pretrainer import LxmertPretrainer
+
+    root, ds, tok, feat = corpus
+    assert len(jax.devices()) == 8
+
+    def make(mesh, out):
+        cfg = tiny_test_config(
+            output=str(tmp_path / out),
+            train=TrainConfig(batch_size=8, lr=1e-4, epochs=1, seed=0))
+        return LxmertPretrainer(cfg, feat, valid_feat=feat, mesh=mesh)
+
+    tr_mesh = make(make_mesh(), "mesh_out")
+    tr_single = make(None, "single_out")
+
+    # single-step loss parity: SPMD must not change the math (epoch-level
+    # losses drift at ~1e-3 from all-reduce summation-order differences)
+    batch, _ = feat.featurize(list(range(8)))
+    key = jax.random.PRNGKey(7)
+    _, loss_m, _, _ = tr_mesh.train_step(
+        tr_mesh.state, tr_mesh._put(batch), key)
+    _, loss_s, _, _ = tr_single.train_step(
+        tr_single.state, tr_single._put(batch), key)
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=2e-4)
+
+    # full epoch runs on the mesh (fresh state: steps donate their input)
+    tr_mesh = make(make_mesh(), "mesh_out2")
+    best = tr_mesh.train()
+    assert np.isfinite(best)
+    assert int(np.asarray(tr_mesh.state.opt_state.count)) == 4
+
+
 def test_pretrain_evaluator(corpus):
     root, ds, tok, feat = corpus
     ev = LxmertPretrainEvaluator(ds)

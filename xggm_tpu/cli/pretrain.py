@@ -4,8 +4,8 @@ from __future__ import annotations
 
 import os
 
-from xggm_tpu.cli.common import (build_parser, to_config,
-                                  seed_everything, configure_prng)
+from xggm_tpu.cli.common import (build_parser, to_config, seed_everything,
+                                  configure_prng, make_mesh_if_requested)
 
 
 def main(argv=None):
@@ -63,7 +63,8 @@ def main(argv=None):
         cfg, train_feat, valid_feat,
         task_mask_lm=args.task_mask_lm, task_matched=args.task_matched,
         task_obj_predict=args.task_obj_predict, task_qa=args.task_qa,
-        visual_losses=tuple(args.visual_losses.split(",")))
+        visual_losses=tuple(args.visual_losses.split(",")),
+        mesh=make_mesh_if_requested(args))
     if args.load is not None:
         restored = trainer.ckpt.load(os.path.basename(args.load),
                                      like={"params": trainer.state.params,

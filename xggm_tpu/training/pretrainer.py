@@ -34,6 +34,19 @@ class LxmertPretrainer:
         self.output = cfg.output
         os.makedirs(self.output, exist_ok=True)
 
+        # same constraint as XGGMTrainer: pallas custom calls don't
+        # auto-partition under GSPMD on a multi-device mesh
+        if (mesh is not None and mesh.size > 1
+                and cfg.lxmert.bert.use_pallas_attention):
+            import dataclasses as _dc
+            import warnings
+            warnings.warn("use_pallas_attention disabled for mesh "
+                          "pretraining (single-chip kernels)")
+            cfg = cfg.replace(lxmert=cfg.lxmert.replace(
+                bert=_dc.replace(cfg.lxmert.bert,
+                                 use_pallas_attention=False)))
+            self.cfg = cfg
+
         num_answers = train_feat.ds.num_answers
         self.answer_table = train_feat.ds.answer_table
         self.model = PretrainModel(
@@ -47,6 +60,20 @@ class LxmertPretrainer:
              "dropout": jax.random.PRNGKey(cfg.train.seed + 1)},
             batch["input_ids"], batch["input_mask"], batch["segment_ids"],
             batch["feats"], batch["boxes"])
+        if mesh is not None:
+            # SPMD data(+tensor) parallel pretraining - the reference
+            # DataParallels the WHOLE model here (lxmert_pretrain.py:255-256
+            # with loss .mean() over device outputs); batches shard on the
+            # 'data' axis, wide projections optionally on 'model'
+            from xggm_tpu.parallel.mesh import param_shardings
+
+            psh = param_shardings(self.params, mesh)
+            self.params = jax.tree.map(jax.device_put, self.params, psh)
+        if mesh is not None:
+            from xggm_tpu.parallel.mesh import shard_batch
+            self._put = lambda b: shard_batch(mesh, b)
+        else:
+            self._put = jax.device_put
 
         steps_per_epoch = len(train_feat) // cfg.train.batch_size
         t_total = int(steps_per_epoch * cfg.train.epochs)
@@ -115,7 +142,7 @@ class LxmertPretrainer:
             uid2ans = {}
             n = 0
             for batch, uids in self._batches(self.train_feat, bs, True, rng):
-                batch = jax.device_put(batch)
+                batch = self._put(batch)
                 self.state, loss, losses, preds = self.train_step(
                     self.state, batch, self._next_key())
                 check_step_finite(n, "pretrain", {"loss": loss, **losses})
@@ -147,7 +174,7 @@ class LxmertPretrainer:
         for batch, _uids in self._batches(self.valid_feat, bs, False,
                                           np.random.RandomState(0)):
             loss, _, _ = self.valid_step(self.state.params,
-                                         jax.device_put(batch))
+                                         self._put(batch))
             total += float(loss)
             n += 1
         avg = total / max(n, 1)
