@@ -31,9 +31,9 @@ Array = jax.Array
 # Swept on v5e at the flagship shapes (tools/perf_probe.py --pallas_group,
 # full two-phase step): G=16 92.8 ms, G=32 90.8, G=64 90.6 - bigger groups
 # amortize per-program overhead and give the MXU deeper batched dots; gains
-# flatten past 32. VMEM at G=64 worst-case (Lq=Lk=36 dropout bwd) is ~6 MB
-# of the 16 MB scoped budget. _pick_group reduces G to a divisor of B*H for
-# other batch sizes.
+# flatten past 32 and G=128 blows the 16 MB scoped-VMEM budget (27 MB on
+# the Lq=Lk=36 dropout backward). _pick_group reduces G to a divisor of
+# B*H for other batch sizes.
 DEFAULT_GROUP = 64
 
 
