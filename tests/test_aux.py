@@ -8,7 +8,7 @@ import pytest
 
 from xggm_tpu.evals.vqa_api import VQAAnnotations
 from xggm_tpu.utils.file_cache import (
-    cached_path, cache_put, url_to_filename, extract_archive,
+    cached_path, cache_put, url_to_filename,
 )
 
 

@@ -1,7 +1,6 @@
 """Data factory tools: TSV->H5 conversion and adjacency precompute,
 cross-checked against the reference's per-pair torch cosine algorithm."""
 import base64
-import os
 
 import numpy as np
 import pytest

@@ -7,14 +7,13 @@ available - guaranteeing behavioral parity of the port.
 import json
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
 
 from xggm_tpu.evals.gqa_eval import GQAEval, ood_test_report
 from xggm_tpu.evals.vqa_eval import (
-    VQAOfficialEval, normalize_answer, process_punctuation,
+    VQAOfficialEval, normalize_answer,
 )
 
 REF = os.environ.get("XGGM_REFERENCE_PATH", "/root/reference")

@@ -4,7 +4,6 @@ graph, model/graph_vae.py:211-245)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 
 def test_plain_encoders_and_mix_generator():

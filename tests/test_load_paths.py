@@ -2,7 +2,6 @@
 torch snapshots: --loadLXMERT (encoder only), --loadLXMERTQA (encoder +
 answer-head surgery), --load (task checkpoint)."""
 import json
-import os
 
 import numpy as np
 import pytest

@@ -3,7 +3,6 @@ able to overfit one small batch (validates loss wiring, gradient signs, lr
 schedule, and the two-optimizer-step structure end-to-end)."""
 import jax
 import numpy as np
-import pytest
 
 from xggm_tpu.config import tiny_test_config
 from xggm_tpu.models.task_model import XGGMModel

@@ -1,7 +1,6 @@
 """SPMD sharding rules: TP param shardings + full-step parity DP vs DP+TP."""
 import jax
 import numpy as np
-import pytest
 from jax.sharding import PartitionSpec as P
 
 from xggm_tpu.parallel.mesh import make_mesh, param_shardings, pad_batch_to

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from xggm_tpu.checkpoint.torch_bridge import (
-    convert_lxrt_bert, convert_task_model, unflatten_params, strip_prefixes,
+    convert_lxrt_bert, unflatten_params, strip_prefixes,
 )
 from xggm_tpu.config import BertConfig, LxmertConfig, VisualConfig
 
