@@ -92,3 +92,54 @@ def test_mlp_vae_plain():
     p = vae.init({"params": jax.random.PRNGKey(0)}, h, key, False)
     y, mu, lsgms = vae.apply(p, h, key, False)
     assert y.shape == (2, 10) and mu.shape == (2, 8)
+
+
+def test_noise_lineage_helpers():
+    """GSM-lineage graph utils: flagged gaussian noise, geometric corrupt-k,
+    symmetric edge toggling, multi-sigma batch expansion (reference
+    src/model/graph_utils.py:45-139)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xggm_tpu.ops.noise import (
+        add_gaussian_noise, gen_list_of_data, get_corrupt_k, toggle_edges)
+
+    rng = np.random.RandomState(0)
+    B, N, F = 3, 6, 4
+    adjs = jnp.asarray((rng.rand(B, N, N) > 0.5).astype(np.float32))
+    adjs = jnp.triu(adjs, 1) + jnp.swapaxes(jnp.triu(adjs, 1), -1, -2)
+    flags = jnp.asarray(np.stack([[1, 1, 1, 1, 0, 0]] * B), jnp.float32)
+    x = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+
+    # flagged noise masks padded rows/cols of BOTH outputs; symmetric
+    noisy, grad = add_gaussian_noise(jax.random.PRNGKey(0), adjs, 0.5,
+                                     node_flags=flags)
+    for t in (noisy, grad):
+        t = np.asarray(t)
+        assert np.all(t[:, 4:, :] == 0) and np.all(t[:, :, 4:] == 0)
+        np.testing.assert_allclose(t, t.transpose(0, 2, 1), atol=1e-6)
+    # diagonal noise is zero (triu-sampled): noisy diag == adjs diag
+    np.testing.assert_allclose(
+        np.diagonal(np.asarray(noisy), axis1=1, axis2=2)[:, :4],
+        np.diagonal(np.asarray(adjs), axis1=1, axis2=2)[:, :4], atol=1e-6)
+
+    # geometric draw respects bounds
+    ks = [int(get_corrupt_k(jax.random.PRNGKey(i), min_k=1, max_k=3))
+          for i in range(50)]
+    assert min(ks) >= 1 and max(ks) <= 3 and len(set(ks)) > 1
+
+    # toggling keeps 0/1 entries and symmetry
+    a = np.asarray(adjs[0])
+    t = np.asarray(toggle_edges(jax.random.PRNGKey(3), jnp.asarray(a), 3))
+    assert set(np.unique(t)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(t, t.T)
+    assert np.any(t != a)
+
+    # multi-sigma expansion shapes + per-sigma grads
+    xs, noisy_all, flags_all, grads = gen_list_of_data(
+        jax.random.PRNGKey(4), x, adjs, flags, [0.5, 1.0])
+    assert xs.shape == (2 * B, N, F)
+    assert noisy_all.shape == (2 * B, N, N)
+    assert flags_all.shape == (2 * B, N)
+    assert len(grads) == 2 and grads[0].shape == (B, N, N)

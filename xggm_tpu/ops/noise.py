@@ -60,15 +60,65 @@ def add_feature_noise(key: Array, feats: Array, sigma: float = 0.2
 
 
 def add_gaussian_noise(key: Array, adjs: Array, sigma: float,
-                       is_half: bool = False) -> Tuple[Array, Array]:
-    """Multi-sigma variant (reference graph_utils.py:120-131)."""
+                       is_half: bool = False,
+                       node_flags: Array | None = None
+                       ) -> Tuple[Array, Array]:
+    """Symmetric triu-sampled Gaussian adjacency noise + score target.
+
+    Covers both reference variants: src/module/graph_utils.py:121-131 (no
+    flags) and the GSM lineage src/model/graph_utils.py:124-139, which
+    additionally masks the noisy adjacency AND the gradient by node_flags."""
     n = adjs.shape[-1]
     raw = jax.random.normal(key, adjs.shape, dtype=adjs.dtype) * sigma
     upper = raw * _triu_mask(n, 1, adjs.dtype)
     if is_half:
         upper = jnp.abs(upper)
     noise = upper + jnp.swapaxes(upper, -1, -2)
-    return adjs + noise, -noise / (sigma ** 2)
+    out, grad = adjs + noise, -noise / (sigma ** 2)
+    if node_flags is not None:
+        out = mask_adjs(out, node_flags)
+        grad = mask_adjs(grad, node_flags)
+    return out, grad
+
+
+def get_corrupt_k(key: Array, min_k: int = 0, max_k: int | None = None,
+                  p: float = 0.5) -> Array:
+    """Geometric corruption-count draw (reference graph_utils.py:45-50;
+    numpy global RNG there, an explicit key here)."""
+    k = jax.random.geometric(key, p) + min_k - 1
+    if max_k is not None:
+        k = jnp.minimum(k, max_k)
+    return k
+
+
+def toggle_edges(key: Array, adj: Array, count: int = 1) -> Array:
+    """Uniformly toggle `count` edges of a single [N, N] 0/1 adjacency,
+    symmetrically (reference toggle_edge_np, graph_utils.py:64-79 - numpy
+    in-place there, functional here)."""
+    count = min(count, adj.shape[-1])
+    kx, ky = jax.random.split(key)
+    x = jax.random.randint(kx, (count,), 0, adj.shape[0])
+    y = jax.random.randint(ky, (count,), 0, adj.shape[1])
+    change = 1.0 - adj[x, y]
+    adj = adj.at[x, y].set(change)
+    return adj.at[y, x].set(change)
+
+
+def gen_list_of_data(key: Array, x: Array, adjs: Array, node_flags: Array,
+                     sigma_list) -> Tuple[Array, Array, Array, list]:
+    """Expand a batch into len(sigma_list) noisy copies (one noise level
+    each) for multi-sigma score-network training (reference GSM lineage,
+    src/model/graph_utils.py:89-121). Returns (x tiled, noisy adjs
+    concatenated on batch, node_flags tiled, per-sigma grad_log list)."""
+    noisy, grads = [], []
+    for i, sigma in enumerate(sigma_list):
+        a, g = add_gaussian_noise(jax.random.fold_in(key, i), adjs,
+                                  float(sigma), node_flags=node_flags)
+        noisy.append(a)
+        grads.append(g)
+    reps = len(sigma_list)
+    return (jnp.tile(x, (reps, 1, 1)), jnp.concatenate(noisy, axis=0),
+            jnp.tile(node_flags, (reps, 1)), grads)
 
 
 def node_feature_to_matrix(x: Array) -> Array:
