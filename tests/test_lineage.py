@@ -123,6 +123,45 @@ def test_mi_estimators(keys):
     assert np.isfinite(float(skl_divergence_knn(x, y)))
 
 
+def test_mi_composite_estimators(keys):
+    """MIUpperBound + the composite estimators (reference mi.py:301-548)."""
+    from xggm_tpu.ops.mi import (
+        JointMIEstimator, MIEstimator, MIUpperBound, MVMIEstimator,
+        mi_upper_bound_org, mi_upper_bound_sample,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(16, 8), jnp.float32)
+    y = jnp.asarray(rng.randn(16, 8), jnp.float32)
+
+    assert np.isfinite(float(mi_upper_bound_org(y)))
+    assert np.isfinite(float(mi_upper_bound_sample(keys[1], y)))
+
+    ub = MIUpperBound(variational=True, y_dim=8, hidden_size=16)
+    p = ub.init(keys[0], x, y)
+    assert np.isfinite(float(ub.apply(p, x, y)))
+    assert np.isfinite(float(
+        ub.apply(p, x, y, keys[2], mi_mode="sample")))
+
+    mie = MIEstimator()
+    p = mie.init(keys[0], x, y)
+    grad, est = mie.apply(p, x, y)
+    assert np.isfinite(float(grad)) and np.isfinite(float(est))
+
+    H = 4
+    z1 = jnp.asarray(rng.randn(16, 2 * H), jnp.float32)
+    z2 = jnp.asarray(rng.randn(16, 2 * H), jnp.float32)
+    mv = MVMIEstimator(hidden_size=H)
+    p = mv.init(keys[0], z1, z2, keys[3])
+    assert np.isfinite(float(mv.apply(p, z1, z2, keys[3])))
+
+    zl = jnp.asarray(rng.randn(6, 20, 2 * H), jnp.float32)
+    zv = jnp.asarray(rng.randn(6, 36, 2 * H), jnp.float32)
+    jm = JointMIEstimator(hidden_size=H)
+    p = jm.init(keys[0], zl, zv, keys[3])
+    assert np.isfinite(float(jm.apply(p, zl, zv, keys[3])))
+
+
 def test_debias_losses_against_torch(keys):
     """Cross-check the pure-function debias losses against inline torch
     computations of the reference formulas."""

@@ -203,6 +203,130 @@ class InfoNCEv2(nn.Module):
         return -lower
 
 
+class MIUpperBound(nn.Module):
+    """'Modified CLUBv2' upper bound (reference mi.py:301-392): optional
+    variational q(y|x) with GELU heads and tanh'd logvar, plus the
+    parameter-free org/sample estimates (randperm negatives)."""
+
+    variational: bool = False
+    y_dim: int = 0
+    hidden_size: int = 0
+
+    def setup(self):
+        if self.variational:
+            h = self.hidden_size // 2
+            self.p_mu = nn.Sequential([nn.Dense(h), nn.gelu,
+                                       nn.Dense(self.y_dim)])
+            self.p_logvar = nn.Sequential([nn.Dense(h), nn.gelu,
+                                           nn.Dense(self.y_dim), jnp.tanh])
+
+    def mi_est_sample_variational(self, x_samples, y_samples, key):
+        mu, logvar = self.p_mu(x_samples), self.p_logvar(x_samples)
+        perm = jax.random.permutation(key, y_samples.shape[0])
+        positive = -((mu - y_samples) ** 2) / jnp.exp(logvar)
+        negative = -((mu - y_samples[perm]) ** 2) / jnp.exp(logvar)
+        return jnp.mean(positive.sum(-1) - negative.sum(-1)) / 2.0
+
+    def mi_est_org_variational(self, x_samples, y_samples):
+        mu, logvar = self.p_mu(x_samples), self.p_logvar(x_samples)
+        positive = -((mu - y_samples) ** 2) / 2.0 / jnp.exp(logvar)
+        negative = -jnp.mean(
+            (y_samples[None, :, :] - mu[:, None, :]) ** 2, axis=1
+        ) / 2.0 / jnp.exp(logvar)
+        return jnp.mean(positive.sum(-1) - negative.sum(-1))
+
+    def __call__(self, x_samples, y_samples, key=None,
+                 mi_mode: str = "original"):
+        if mi_mode == "original":
+            return self.mi_est_org_variational(x_samples, y_samples)
+        return self.mi_est_sample_variational(x_samples, y_samples, key)
+
+
+def mi_upper_bound_org(y_samples: Array) -> Array:
+    """MIUpperBound.mi_est_org (reference mi.py:373-388): parameter-free."""
+    negative = -jnp.mean(
+        (y_samples[None, :, :] - y_samples[:, None, :]) ** 2, axis=1) / 2.0
+    return jnp.mean(-negative.sum(-1))
+
+
+def mi_upper_bound_sample(key: Array, y_samples: Array) -> Array:
+    """MIUpperBound.mi_est_sample (reference mi.py:361-371): permutation
+    negatives (vs CLUBv2-sample's with-replacement draw)."""
+    perm = jax.random.permutation(key, y_samples.shape[0])
+    negative = -((y_samples - y_samples[perm]) ** 2) / 2.0
+    return jnp.mean(-negative.sum(-1))
+
+
+class MIEstimator(nn.Module):
+    """JSD-gradient / energy-based MI critic (reference mi.py:428-446):
+    cat -> 1024 GELU -> 1024 GELU -> 1; negatives by rolling x1."""
+
+    @nn.compact
+    def __call__(self, x1: Array, x2: Array):
+        net = nn.Sequential([nn.Dense(1024), nn.gelu, nn.Dense(1024),
+                             nn.gelu, nn.Dense(1)])
+        pos = net(jnp.concatenate([x1, x2], axis=1))
+        neg = net(jnp.concatenate([jnp.roll(x1, 1, axis=0), x2], axis=1))
+        grad = -jnp.mean(nn.softplus(-pos)) - jnp.mean(nn.softplus(neg))
+        est = jnp.mean(pos) - jnp.mean(jnp.exp(neg)) + 1.0
+        return grad, est
+
+
+def _factorized_normal(z, hidden_size):
+    mu, sigma = z[:, :hidden_size], z[:, hidden_size:]
+    sigma = nn.softplus(sigma) + 1e-7
+    return mu, sigma
+
+
+def _normal_log_prob(x, mu, sigma):
+    return jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - jnp.log(sigma)
+                   - 0.5 * ((x - mu) / sigma) ** 2, axis=-1)
+
+
+class MVMIEstimator(nn.Module):
+    """Multi-view MI objective (reference mi.py:449-503): factorized-Normal
+    posteriors from [*, 2*hidden] heads, reparameterized samples, symmetric
+    KL minus 2x the JSD MI gradient."""
+
+    hidden_size: int = 384
+
+    @nn.compact
+    def __call__(self, p_z1: Array, p_z2: Array, key: Array) -> Array:
+        mu1, s1 = _factorized_normal(p_z1, self.hidden_size)
+        mu2, s2 = _factorized_normal(p_z2, self.hidden_size)
+        k1, k2 = jax.random.split(key)
+        z1 = mu1 + s1 * jax.random.normal(k1, mu1.shape)
+        z2 = mu2 + s2 * jax.random.normal(k2, mu2.shape)
+        mi_gradient, _ = MIEstimator()(z1, z2)
+        kl_1_2 = _normal_log_prob(z1, mu1, s1) - _normal_log_prob(z1, mu2, s2)
+        kl_2_1 = _normal_log_prob(z2, mu2, s2) - _normal_log_prob(z2, mu1, s1)
+        d_skl_2 = jnp.mean(kl_1_2 + kl_2_1)
+        return d_skl_2 - 2.0 * mi_gradient
+
+
+class JointMIEstimator(nn.Module):
+    """Cross-modal joint objective (reference mi.py:506-548): pool the 20
+    language / 36 visual positions with learned 1-d projections, build
+    factorized-Normal posteriors, return SKL/2 minus the InfoNCE estimate."""
+
+    hidden_size: int = 384
+
+    @nn.compact
+    def __call__(self, zl: Array, zv: Array, key: Array) -> Array:
+        z1 = nn.Dense(1, name="fc_l")(jnp.swapaxes(zl, 1, 2))[..., 0]
+        z2 = nn.Dense(1, name="fc_v")(jnp.swapaxes(zv, 1, 2))[..., 0]
+        mu1, s1 = _factorized_normal(z1, self.hidden_size)
+        mu2, s2 = _factorized_normal(z2, self.hidden_size)
+        k1, k2, k3 = jax.random.split(key, 3)
+        z1 = mu1 + s1 * jax.random.normal(k1, mu1.shape)
+        z2 = mu2 + s2 * jax.random.normal(k2, mu2.shape)
+        kl_1_2 = _normal_log_prob(z1, mu1, s1) - _normal_log_prob(z1, mu2, s2)
+        kl_2_1 = _normal_log_prob(z2, mu2, s2) - _normal_log_prob(z2, mu1, s1)
+        d_skl = jnp.mean(kl_1_2 + kl_2_1) / 2.0
+        mi_estimation = InfoNCE()(z1, z2, k3)
+        return d_skl - mi_estimation
+
+
 def knn_kl_estimator(s1: Array, s2: Array, k: int = 1) -> Array:
     """Brute-force k-NN KL(P||Q) estimator (reference naive_estimator,
     mi.py:562-585)."""
