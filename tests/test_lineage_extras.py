@@ -143,3 +143,32 @@ def test_noise_lineage_helpers():
     assert noisy_all.shape == (2 * B, N, N)
     assert flags_all.shape == (2 * B, N)
     assert len(grads) == 2 and grads[0].shape == (B, N, N)
+
+
+def test_gsm_gin_lineage_pieces():
+    """doubly_stochastic_norm + GraphAttentionLayer (reference
+    model/gin.py:11-88)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xggm_tpu.ggm.extras import GraphAttentionLayer, doubly_stochastic_norm
+
+    rng = np.random.RandomState(0)
+    adjs = jnp.asarray(rng.rand(2, 5, 5) + 0.1, jnp.float32)
+    e = doubly_stochastic_norm(adjs)
+    assert e.shape == (2, 5, 5)
+    # E = C C^T with C row-stochastic-ish: rows sum to ~1 and E symmetric
+    np.testing.assert_allclose(np.asarray(e),
+                               np.asarray(jnp.swapaxes(e, 1, 2)), rtol=1e-5)
+
+    x = jnp.asarray(rng.randn(2, 5, 7), jnp.float32)
+    adj = jnp.asarray((rng.rand(2, 5, 5) > 0.4).astype(np.float32))
+    layer = GraphAttentionLayer(out_features=6)
+    p = layer.init(jax.random.PRNGKey(0), x, adj)
+    out = layer.apply(p, x, adj)
+    assert out.shape == (2, 5, 6)
+    assert np.all(np.isfinite(np.asarray(out)))
+    out2 = GraphAttentionLayer(out_features=6, concat=False).apply(
+        layer.init(jax.random.PRNGKey(1), x, adj), x, adj)
+    assert out2.shape == (2, 5, 6)

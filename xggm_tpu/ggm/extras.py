@@ -152,3 +152,50 @@ class SpectralGCN(nn.Module):
             if i < n_layers - 1:
                 x = nn.relu(x)
         return x
+
+
+def doubly_stochastic_norm(adjs_f: Array, do_row_norm: bool = True) -> Array:
+    """Sinkhorn-style doubly-stochastic attention normalization (reference
+    GSM lineage, model/gin.py:11-27): row-normalize, column-normalize, then
+    E = E_tilde_colnorm @ E_tilde^T."""
+    if do_row_norm:
+        e_tilde = adjs_f / adjs_f.sum(axis=2, keepdims=True)
+    else:
+        e_tilde = adjs_f
+    e_col = e_tilde / e_tilde.sum(axis=1, keepdims=True)
+    return jnp.einsum("bij,bkj->bik", e_col, e_tilde)
+
+
+class GraphAttentionLayer(nn.Module):
+    """GSM-lineage GAT layer (reference model/gin.py:29-88): additive
+    attention over [h_i, h_j, adj_ij] triples, attention multiplied by the
+    adjacency (not masked-filled like the live GAT), ELU when concat.
+
+    NOTE: the reference's companion GIN/GINPlain energy networks
+    (model/gin.py:235-545) carry latent shape mismatches in their
+    `h + eps * cat([x, x])` aggregation (MLP input dims don't line up for
+    the constructor's feature_nums) and are unreachable dead code; the
+    working member of that family is the multi-channel GIN inside the
+    EDP-GNN score network (ggm/score_network.MultiChannelGIN)."""
+
+    out_features: int
+    alpha: float = 0.2
+    concat: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, adj: Array) -> Array:
+        # xavier-uniform gain 1.414, as the reference initializes
+        init = nn.initializers.variance_scaling(
+            1.414 ** 2, "fan_avg", "uniform")
+        w = self.param("W", init, (x.shape[-1], self.out_features))
+        a = self.param("a", init, (2 * self.out_features + 1, 1))
+        h = x @ w                                       # [B, N, F_out]
+        n = h.shape[1]
+        h_b = jnp.broadcast_to(h[:, :, None, :],
+                               (h.shape[0], n, n, h.shape[-1]))
+        h_bt = jnp.swapaxes(h_b, 1, 2)
+        a_in = jnp.concatenate([h_b, h_bt, adj[..., None]], axis=-1)
+        e = nn.leaky_relu((a_in @ a)[..., 0], negative_slope=self.alpha)
+        attention = jax.nn.softmax(e, axis=-1) * adj
+        h_prime = attention @ h
+        return nn.elu(h_prime) if self.concat else h_prime
