@@ -364,7 +364,10 @@ def _fused_attention_blhd_impl(q: Array, k: Array, v: Array, bias: Array,
     """q [B, Lq, H, D], k/v [B, Lk, H, D], bias [B, Lk] -> [B, Lq, H, D]."""
     b, lq, h, d = q.shape
     lk = k.shape[1]
-    g = _pick_group(b, group)
+    # BLHD blocks carry ALL heads: DEFAULT_GROUP (tuned for the flattened
+    # per-(b,h) kernels) would blow scoped VMEM here; 16 is the validated
+    # batch-group for this layout.
+    g = _pick_group(b, group or 16)
     qspec, kspec, bspec = _blhd_specs(g, lq, lk, h, d)
     return pl.pallas_call(
         functools.partial(_attention_blhd_kernel, scale=1.0 / (d ** 0.5)),
