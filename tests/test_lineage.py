@@ -14,7 +14,7 @@ def keys():
 def test_score_network_and_langevin(keys):
     from xggm_tpu.ggm.score_network import (
         EdgeDenseScoreNetwork, LangevinSampler, gen_init_sample,
-        gen_list_of_data,
+        gen_multi_sigma_batches,
     )
 
     B, N, F = 2, 8, 16
@@ -38,7 +38,8 @@ def test_score_network_and_langevin(keys):
     assert out.shape == (B, N, N)
     assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
 
-    xs, noisy, grads = gen_list_of_data(keys[3], x, adjs, [0.5, 1.0])
+    xs, noisy, grads = gen_multi_sigma_batches(keys[3], x, adjs,
+                                              [0.5, 1.0])
     assert xs.shape == (2 * B, N, F)
     assert noisy.shape == (2 * B, N, N)
 

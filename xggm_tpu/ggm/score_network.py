@@ -226,12 +226,13 @@ class LangevinSampler:
         return adjs, node_flags
 
 
-def gen_list_of_data(key: Array, x: Array, adjs: Array,
-                     sigma_list: Sequence[float]
-                     ) -> Tuple[Array, Array, Array]:
-    """Multi-sigma noisy batches for annealed score matching (reference
-    graph_utils.py:89-118): tiles the batch per sigma and returns
-    (tiled_x, noisy_adjs, grad_log_noise) stacked along the batch dim."""
+def gen_multi_sigma_batches(key: Array, x: Array, adjs: Array,
+                            sigma_list: Sequence[float]
+                            ) -> Tuple[Array, Array, Array]:
+    """Flagless multi-sigma noisy batches for annealed score-matching
+    training with this module's edge noise. The reference-faithful
+    `gen_list_of_data` (node flags, per-sigma grad list, GSM lineage
+    src/model/graph_utils.py:89-121) lives in `xggm_tpu.ops.noise`."""
     from xggm_tpu.ops.noise import add_edge_noise
 
     xs, noisy, grads = [], [], []
