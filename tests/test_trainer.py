@@ -110,6 +110,34 @@ def test_mesh_disables_pallas_attention(env, tmp_path):
     assert trainer1.cfg.lxmert.bert.use_pallas_attention
 
 
+def test_training_is_deterministic(env, tmp_path):
+    """Same seed -> bit-identical metrics trajectory and final params. The
+    functional-RNG design makes runs exactly reproducible (the reference's
+    global torch RNG cannot guarantee this across loader configs)."""
+    import json
+
+    import jax
+
+    def run(out):
+        cfg = env.replace(output=str(tmp_path / out))
+        trainer = XGGMTrainer(cfg, task="gqa")
+        trainer.train()
+        with open(os.path.join(cfg.output, "metrics.jsonl")) as f:
+            metrics = [json.loads(line) for line in f]
+        return trainer, metrics
+
+    t1, m1 = run("det1")
+    t2, m2 = run("det2")
+    assert len(m1) == len(m2) > 0
+    for a, b in zip(m1, m2):
+        for k in a:
+            if k == "ts":
+                continue
+            assert a[k] == b[k], (k, a, b)
+    for pa, pb in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_checkpoint_roundtrip(env):
     trainer = XGGMTrainer(env, task="gqa")
     trainer.save("CKPT_TEST")
