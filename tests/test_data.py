@@ -162,3 +162,28 @@ def test_feeder_edge_cases(data_root, tokenizer):
     assert e1 != e2
     f2 = Feeder(gbd, batch_size=8, shuffle=True, seed=1)
     assert e1 == [qids for qids, _, _ in f2]
+
+
+def test_feeder_surfaces_producer_errors(data_root, tokenizer):
+    """A failure on the producer thread must raise in the consumer, not
+    silently truncate the epoch (regression: the thread swallowed it)."""
+    import pytest
+
+    cfg = DataConfig(data_root=data_root)
+    dset = GQADataset("train", cfg)
+    gbd = GraphBatchDataset(dset, tokenizer)
+
+    real = gbd.get_batch
+    calls = {"n": 0}
+
+    def flaky(indices):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("corrupt feature record")
+        return real(indices)
+
+    gbd.get_batch = flaky
+    feeder = Feeder(gbd, batch_size=8, shuffle=False)
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        for _ in feeder:
+            pass

@@ -80,7 +80,11 @@ class Feeder:
                     # host->device transfer of batch N+1 overlaps the
                     # device compute of batch N (jax dispatch is async)
                     q.put((qids, self._place(batch), mask))
-            finally:
+            except BaseException as e:  # noqa: BLE001 - surfaced below
+                # a swallowed producer error would silently truncate the
+                # epoch; hand it to the consumer thread instead
+                q.put(e)
+            else:
                 q.put(SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -89,6 +93,11 @@ class Feeder:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise RuntimeError(
+                    "feeder producer thread failed while assembling a "
+                    "batch") from item
             yield item
         t.join()
         self._epoch += 1
