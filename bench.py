@@ -216,7 +216,7 @@ def main():
     idx = np.arange(len(gbd))
     staged = []
     for i in range(12):
-        b = gbd.get_batch(idx[(i * 53) % (len(gbd) - bs):][:bs])
+        b = gbd.get_batch(idx[(i * 53) % max(1, len(gbd) - bs):][:bs])
         b["feats"] = b["feats"].astype(jnp.bfloat16)
         staged.append(jax.device_put(b))
     state, m = steps["relation"](state, staged[0], jax.random.PRNGKey(0))

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xggm_tpu.ops.basic import gelu
+
 Array = jax.Array
 
 
@@ -215,9 +217,11 @@ class MIUpperBound(nn.Module):
     def setup(self):
         if self.variational:
             h = self.hidden_size // 2
-            self.p_mu = nn.Sequential([nn.Dense(h), nn.gelu,
+            # exact erf GeLU: torch nn.GELU (reference mi.py:310-317), not
+            # flax's default tanh approximation
+            self.p_mu = nn.Sequential([nn.Dense(h), gelu,
                                        nn.Dense(self.y_dim)])
-            self.p_logvar = nn.Sequential([nn.Dense(h), nn.gelu,
+            self.p_logvar = nn.Sequential([nn.Dense(h), gelu,
                                            nn.Dense(self.y_dim), jnp.tanh])
 
     def mi_est_sample_variational(self, x_samples, y_samples, key):
@@ -239,6 +243,8 @@ class MIUpperBound(nn.Module):
                  mi_mode: str = "original"):
         if mi_mode == "original":
             return self.mi_est_org_variational(x_samples, y_samples)
+        if key is None:
+            raise ValueError('mi_mode="sample" requires a PRNG key')
         return self.mi_est_sample_variational(x_samples, y_samples, key)
 
 
@@ -263,8 +269,8 @@ class MIEstimator(nn.Module):
 
     @nn.compact
     def __call__(self, x1: Array, x2: Array):
-        net = nn.Sequential([nn.Dense(1024), nn.gelu, nn.Dense(1024),
-                             nn.gelu, nn.Dense(1)])
+        net = nn.Sequential([nn.Dense(1024), gelu, nn.Dense(1024),
+                             gelu, nn.Dense(1)])
         pos = net(jnp.concatenate([x1, x2], axis=1))
         neg = net(jnp.concatenate([jnp.roll(x1, 1, axis=0), x2], axis=1))
         grad = -jnp.mean(nn.softplus(-pos)) - jnp.mean(nn.softplus(neg))
