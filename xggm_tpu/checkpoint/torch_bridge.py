@@ -141,11 +141,79 @@ def _map_x_layer(m: _Mapper, t: str, o: str):
     m.layernorm(f"{t}.visn_output.LayerNorm", f"{o}/visn_mlp/LayerNorm")
 
 
+_STACK_GROUPS = (
+    # (per-layer path prefix, stacked path, layer-count attribute)
+    ("x_layer", "x_stack", "x_layers"),
+    ("r_layer", "r_stack", "r_layers"),
+    ("layer", "lang_stack", "l_layers"),
+)
+
+
+def stack_encoder_flat(flat: Dict[str, np.ndarray], cfg: LxmertConfig,
+                       our_prefix: str = "lxrt") -> Dict[str, np.ndarray]:
+    """Per-layer encoder paths -> scan-stacked layout.
+
+    `{p}/encoder/layer_{i}/REST` (i = 0..L-1) becomes ONE
+    `{p}/encoder/lang_stack/layer/REST` array with a leading [L] axis
+    (likewise r_layer -> r_stack, x_layer -> x_stack), matching the
+    nn.scan parameter layout of models/lxmert.LxmertEncoder when
+    cfg.stacked_layers. Incomplete groups (a layer's tensor missing from the
+    checkpoint) are dropped with the per-layer keys - merge_into will then
+    report the stacked path as unmatched rather than loading a ragged stack.
+    """
+    import re
+
+    pat = re.compile(
+        rf"^{re.escape(our_prefix)}/encoder/(x_layer|r_layer|layer)_(\d+)/(.*)$")
+    lengths = {p: getattr(cfg.visual, attr) for p, _, attr in _STACK_GROUPS}
+    stack_name = {p: s for p, s, _ in _STACK_GROUPS}
+    out: Dict[str, np.ndarray] = {}
+    per: Dict[Tuple[str, str], Dict[int, np.ndarray]] = {}
+    for k, v in flat.items():
+        mm = pat.match(k)
+        if not mm:
+            out[k] = v
+            continue
+        kind, idx, rest = mm.group(1), int(mm.group(2)), mm.group(3)
+        per.setdefault((kind, rest), {})[idx] = v
+    for (kind, rest), d in per.items():
+        n = lengths[kind]
+        if sorted(d) != list(range(n)):
+            continue  # incomplete group: unmatched is better than ragged
+        out[f"{our_prefix}/encoder/{stack_name[kind]}/layer/{rest}"] = \
+            np.stack([d[i] for i in range(n)])
+    return out
+
+
+def unstack_encoder_flat(flat: Dict[str, np.ndarray], cfg: LxmertConfig,
+                         our_prefix: str = "lxrt") -> Dict[str, np.ndarray]:
+    """Inverse of stack_encoder_flat: split each stacked [L, ...] leaf back
+    into per-layer `layer_{i}` paths (for per-layer-layout consumers and
+    torch export round-trips)."""
+    import re
+
+    pat = re.compile(
+        rf"^{re.escape(our_prefix)}/encoder/(x_stack|r_stack|lang_stack)/layer/(.*)$")
+    layer_name = {s: p for p, s, _ in _STACK_GROUPS}
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        mm = pat.match(k)
+        if not mm:
+            out[k] = v
+            continue
+        stack, rest = mm.group(1), mm.group(2)
+        for i in range(v.shape[0]):
+            out[f"{our_prefix}/encoder/{layer_name[stack]}_{i}/{rest}"] = v[i]
+    return out
+
+
 def convert_lxrt_bert(sd: Dict[str, np.ndarray], cfg: LxmertConfig,
                       torch_prefix: str = "", our_prefix: str = "lxrt"
                       ) -> Tuple[Dict[str, np.ndarray], _Mapper]:
     """Map a torch LXRTModel state dict (keys `embeddings.*`, `encoder.*`,
-    `pooler.*` under `torch_prefix`) onto our LxmertModel tree."""
+    `pooler.*` under `torch_prefix`) onto our LxmertModel tree. When
+    cfg.stacked_layers (the default), per-layer tensors are stacked into the
+    scan-over-layers [L, ...] layout."""
     m = _Mapper(sd)
     t = torch_prefix
     o = our_prefix
@@ -175,6 +243,8 @@ def convert_lxrt_bert(sd: Dict[str, np.ndarray], cfg: LxmertConfig,
         _map_x_layer(m, f"{t}encoder.x_layers.{i}", f"{o}/encoder/x_layer_{i}")
 
     m.linear(f"{t}pooler.dense", f"{o}/pooler/dense")
+    if getattr(cfg, "stacked_layers", False):
+        m.out = stack_encoder_flat(m.out, cfg, our_prefix=o)
     return m.out, m
 
 
@@ -259,6 +329,39 @@ def convert_task_model(sd: Dict[str, np.ndarray], cfg: LxmertConfig,
                     m.out[f"{oh}/attn"] = np.ascontiguousarray(w.T)
         else:
             raise ValueError(gnn)
+    return m.out
+
+
+def convert_pretrain_model(sd: Dict[str, np.ndarray], cfg: LxmertConfig,
+                           visual_losses: Tuple[str, ...] = ("obj", "attr",
+                                                             "feat")
+                           ) -> Dict[str, np.ndarray]:
+    """Convert a reference LXRTPretraining state dict (keys per
+    src/lxrt/modeling.py:955-985: `bert.*`, `cls.predictions.*`,
+    `cls.seq_relationship.*`, `obj_predict_head.*`, `answer_head.*`) onto our
+    PretrainModel tree (models/pretrain_model.py)."""
+    sd = strip_prefixes(sd)
+    flat, m = convert_lxrt_bert(sd, cfg, torch_prefix="bert.",
+                                our_prefix="lxrt")
+    # masked-LM head; the decoder weight is TIED to the word embeddings
+    # (modeling.py:649-652) - our LMPredictionHead reuses the table, so only
+    # transform + bias convert
+    m.linear("cls.predictions.transform.dense", "lm_head/transform/dense")
+    m.layernorm("cls.predictions.transform.LayerNorm",
+                "lm_head/transform/LayerNorm")
+    bias = m._take("cls.predictions.bias")
+    if bias is not None:
+        m.out["lm_head/bias"] = bias
+    m.linear("cls.seq_relationship", "seq_relationship")
+    m.linear("answer_head.logit_fc.0", "answer_head/fc1")
+    m.layernorm("answer_head.logit_fc.2", "answer_head/ln")
+    m.linear("answer_head.logit_fc.3", "answer_head/fc2")
+    m.linear("obj_predict_head.transform.dense", "obj_head/transform/dense")
+    m.layernorm("obj_predict_head.transform.LayerNorm",
+                "obj_head/transform/LayerNorm")
+    for key in visual_losses:
+        m.linear(f"obj_predict_head.decoder_dict.{key}",
+                 f"obj_head/decoder_{key}")
     return m.out
 
 

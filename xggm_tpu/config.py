@@ -71,6 +71,13 @@ class LxmertConfig:
     # Compute dtype for matmuls/activations. bfloat16 rides the MXU at full
     # rate; params and LayerNorm/softmax accumulation stay float32.
     dtype: str = "float32"
+    # Scan-over-layers: stack each homogeneous layer group's params into
+    # [L, ...] leaves consumed by lax.scan (9 lang + 5 visual + 5 x-layer
+    # trees -> 3 stacks). Collapses ~330 per-layer optimizer leaves into 56
+    # big ones - one fused update loop per stacked leaf instead of hundreds
+    # of small launches. The torch bridge stacks/unstacks transparently
+    # (checkpoint/torch_bridge.stack_encoder_flat).
+    stacked_layers: bool = True
 
     @property
     def compute_dtype(self):

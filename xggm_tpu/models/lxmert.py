@@ -123,7 +123,10 @@ class Attention(nn.Module):
         k = k.reshape(B, Lk, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, h, d).transpose(0, 2, 1, 3)
 
-        if c.use_pallas_attention and jax.default_backend() == "tpu":
+        if c.use_pallas_attention:
+            # Non-TPU backends run the kernels in interpret mode (CPU tests);
+            # multi-device meshes partition them over the leading batch axis
+            # via the kernels' custom_partitioning rules.
             # The flattened [B*H, L, D] kernels beat the layout-preserving
             # BLHD variants (ops/pallas_attention.py) by ~21% full-step:
             # the H<->L transpose copies here (~10 ms/step) are cheaper than
@@ -264,6 +267,54 @@ class XLayer(nn.Module):
         return lang_x, visn_x
 
 
+class _BertStackBody(nn.Module):
+    """nn.scan body: one BertLayer reading a [L, ...]-stacked param slice.
+
+    Carry = hidden states; the attention bias broadcasts (in_axes=
+    nn.broadcast). `det` is a static module attribute, so the scanned graph
+    contains no traced control flow.
+    """
+
+    cfg: BertConfig
+    dtype: Any
+    det: bool
+
+    @nn.compact
+    def __call__(self, x: Array, attn_bias: Optional[Array]):
+        x = BertLayer(self.cfg, self.dtype, name="layer")(
+            x, attn_bias, self.det)
+        return x, None
+
+
+class _XStackBody(nn.Module):
+    """nn.scan body for the cross-modality stack: carry = (lang, visn)."""
+
+    cfg: BertConfig
+    dtype: Any
+    det: bool
+
+    @nn.compact
+    def __call__(self, carry, biases):
+        lang, visn = carry
+        lang_bias, visn_bias = biases
+        lang, visn = XLayer(self.cfg, self.dtype, name="layer")(
+            lang, lang_bias, visn, visn_bias, self.det)
+        return (lang, visn), None
+
+
+def _layer_stack(body_cls, cfg: BertConfig, dtype, det: bool, length: int,
+                 name: str):
+    """lax.scan over `length` stacked layers: params get a leading [L] axis
+    (variable_axes), per-layer dropout keys are split from one stream
+    (split_rngs), and the attention biases broadcast unscanned."""
+    scan = nn.scan(body_cls,
+                   variable_axes={"params": 0},
+                   split_rngs={"params": True, "dropout": True},
+                   in_axes=nn.broadcast,
+                   length=length)
+    return scan(cfg, dtype, det, name=name)
+
+
 class VisualFeatEncoder(nn.Module):
     """Object feature + box position embedding (reference modeling.py:530-557):
     output = dropout((LN(W_f feats) + LN(W_b boxes)) / 2)."""
@@ -315,6 +366,20 @@ class LxmertEncoder(nn.Module):
 
         visn = VisualFeatEncoder(self.cfg, name="visn_fc")(
             feats, boxes, deterministic)
+
+        if self.cfg.stacked_layers:
+            # scan-over-layers: each stack's params are single [L, ...]
+            # leaves - the optimizer update runs one fused loop per stacked
+            # leaf instead of hundreds of per-layer launches, and the VJP's
+            # scan emits gradients already stacked.
+            lang, _ = _layer_stack(_BertStackBody, c, dt, deterministic,
+                                   v.l_layers, "lang_stack")(lang, lang_bias)
+            visn, _ = _layer_stack(_BertStackBody, c, dt, deterministic,
+                                   v.r_layers, "r_stack")(visn, visn_bias)
+            (lang, visn), _ = _layer_stack(
+                _XStackBody, c, dt, deterministic, v.x_layers, "x_stack")(
+                (lang, visn), (lang_bias, visn_bias))
+            return lang, visn
 
         for i in range(v.l_layers):
             lang = BertLayer(c, dt, name=f"layer_{i}")(

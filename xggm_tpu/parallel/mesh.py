@@ -83,11 +83,13 @@ def param_shardings(params, mesh: Mesh, min_model_dim: int = 2048):
     model_size = mesh.shape.get("model", 1)
     shardings = []
     wide_bias_paths = set()
-    # first pass: find wide kernels
+    # first pass: find wide kernels. ndim==2 = plain [in, out]; ndim==3 =
+    # scan-stacked [L, in, out] (models/lxmert.py stacked_layers) - both
+    # shard the output (last) dim over 'model'.
     wide = set()
     for path, leaf in flat:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
-        if (name.endswith("kernel") and leaf.ndim == 2
+        if (name.endswith("kernel") and leaf.ndim in (2, 3)
                 and leaf.shape[-1] >= min_model_dim
                 and leaf.shape[-1] % model_size == 0):
             wide.add(name)
@@ -95,9 +97,12 @@ def param_shardings(params, mesh: Mesh, min_model_dim: int = 2048):
     for path, leaf in flat:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
         if model_size > 1 and name in wide:
-            shardings.append(NamedSharding(mesh, P(None, "model")))
-        elif model_size > 1 and name in wide_bias_paths and leaf.ndim == 1:
-            shardings.append(NamedSharding(mesh, P("model")))
+            spec = P(*([None] * (leaf.ndim - 1)), "model")
+            shardings.append(NamedSharding(mesh, spec))
+        elif model_size > 1 and name in wide_bias_paths and leaf.ndim in (1, 2):
+            # stacked biases are [L, out]; plain biases [out]
+            spec = P("model") if leaf.ndim == 1 else P(None, "model")
+            shardings.append(NamedSharding(mesh, spec))
         else:
             shardings.append(NamedSharding(mesh, P()))
     return jax.tree_util.tree_unflatten(treedef, shardings)
