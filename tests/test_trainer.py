@@ -88,11 +88,12 @@ def test_profile_trace_closes_on_short_run(env, tmp_path):
     jax.profiler.stop_trace()
 
 
-def test_mesh_disables_pallas_attention(env, tmp_path):
-    """Pallas custom calls don't auto-partition under GSPMD: the trainer
-    must fall back to the XLA attention path on a multi-device mesh."""
+def test_mesh_keeps_pallas_attention(env, tmp_path):
+    """The fused attention kernels carry custom_partitioning rules, so a
+    multi-device mesh keeps the pallas path (no silent XLA fallback) and the
+    full two-phase step runs on it - matching the reference carrying its
+    whole model under DataParallel (src/lxrt/entry.py:103-104)."""
     import dataclasses
-    import warnings
 
     from xggm_tpu.parallel.mesh import make_mesh
 
@@ -100,14 +101,12 @@ def test_mesh_disables_pallas_attention(env, tmp_path):
     cfg = cfg.replace(lxmert=cfg.lxmert.replace(
         bert=dataclasses.replace(cfg.lxmert.bert,
                                  use_pallas_attention=True)))
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        trainer = XGGMTrainer(cfg, task="gqa", mesh=make_mesh())
-    assert not trainer.cfg.lxmert.bert.use_pallas_attention
-    assert any("use_pallas_attention disabled" in str(x.message) for x in w)
-    # single-chip (no mesh): flag passes through untouched
-    trainer1 = XGGMTrainer(cfg, task="gqa")
-    assert trainer1.cfg.lxmert.bert.use_pallas_attention
+    trainer = XGGMTrainer(cfg, task="gqa", mesh=make_mesh())
+    assert trainer.cfg.lxmert.bert.use_pallas_attention
+    best = trainer.train()
+    assert 0.0 <= best <= 1.0
+    # two optimizer steps per batch across the epoch, same as single-chip
+    assert int(np.asarray(trainer.state.opt_state.count)) == 8
 
 
 def test_training_is_deterministic(env, tmp_path):

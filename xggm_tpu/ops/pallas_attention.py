@@ -24,8 +24,63 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning: every kernel here is purely batch-parallel over the
+# flattened (batch*head) leading axis, so under a multi-device mesh the
+# pallas_call partitions trivially - each shard runs the same kernel on its
+# local rows. custom_partitioning teaches GSPMD/Shardy exactly that (the
+# reference carries its full model under nn.DataParallel the same way,
+# src/lxrt/entry.py:103-104); without it a pallas custom-call inside a
+# GSPMD-jitted step cannot be partitioned at all.
+# ---------------------------------------------------------------------------
+
+
+def _dim0_partition(lower_fn):
+    """Partition rule: shard ONLY the leading axis (with whatever mesh axes
+    operand 0 carries there), replicate every other dim, run the kernel
+    per-shard on the local rows."""
+
+    def partition(mesh, arg_infos, result_infos):
+        spec = arg_infos[0].sharding.spec
+        axes0 = spec[0] if len(spec) else None
+
+        def sh(info):
+            return NamedSharding(
+                mesh, P(axes0, *([None] * (len(info.shape) - 1))))
+
+        arg_shardings = tuple(sh(a) for a in arg_infos)
+        if isinstance(result_infos, (list, tuple)):
+            result_shardings = tuple(sh(r) for r in result_infos)
+        else:
+            result_shardings = sh(result_infos)
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    return partition
+
+
+def _dim0_infer(n_results=1):
+    """GSPMD-fallback sharding inference: results shard like operand 0's
+    leading axis."""
+
+    def infer(mesh, arg_infos, result_infos):
+        spec = arg_infos[0].sharding.spec
+        axes0 = spec[0] if len(spec) else None
+
+        def sh(info):
+            return NamedSharding(
+                mesh, P(axes0, *([None] * (len(info.shape) - 1))))
+
+        if isinstance(result_infos, (list, tuple)):
+            return tuple(sh(r) for r in result_infos)
+        return sh(result_infos)
+
+    return infer
 
 # Batch-group rows per program for the flattened [B*H, L, D] kernels.
 # Swept on v5e at the flagship shapes (tools/perf_probe.py --pallas_group,
@@ -82,6 +137,22 @@ def _fused_attention_fwd_impl(q: Array, k: Array, v: Array, bias: Array,
     )(q, k, v, bias)
 
 
+def _make_fwd_cp():
+    fn = custom_partitioning(
+        lambda q, k, v, bias: _fused_attention_fwd_impl(q, k, v, bias))
+    fn.def_partition(
+        partition=_dim0_partition(
+            lambda q, k, v, bias: _fused_attention_fwd_impl(q, k, v, bias)),
+        infer_sharding_from_operands=_dim0_infer(),
+        sharding_rule="b lq d, b lk d, b lk d, b lk -> b lq d",
+        # NB: must be sorted by first-appearance factor index
+        need_replication_factors=("lq", "d", "lk"))
+    return fn
+
+
+_fused_attention_fwd_sharded = _make_fwd_cp()
+
+
 def _reference_attention(q, k, v, bias):
     s = jnp.einsum("gqd,gkd->gqk", q, k, preferred_element_type=jnp.float32)
     s = s / (q.shape[-1] ** 0.5) + bias[:, None, :].astype(jnp.float32)
@@ -92,12 +163,14 @@ def _reference_attention(q, k, v, bias):
 
 @jax.custom_vjp
 def fused_attention(q: Array, k: Array, v: Array, bias: Array) -> Array:
-    """Fused softmax attention over flattened (batch*head) groups."""
-    return _fused_attention_fwd_impl(q, k, v, bias)
+    """Fused softmax attention over flattened (batch*head) groups. Partitions
+    over the leading axis on multi-device meshes; the einsum backward shards
+    natively in XLA."""
+    return _fused_attention_fwd_sharded(q, k, v, bias)
 
 
 def _fwd(q, k, v, bias):
-    return _fused_attention_fwd_impl(q, k, v, bias), (q, k, v, bias)
+    return _fused_attention_fwd_sharded(q, k, v, bias), (q, k, v, bias)
 
 
 def _bwd(res, g_out):
@@ -121,9 +194,11 @@ fused_attention.defvjp(_fwd, _bwd)
 
 # ---------------------------------------------------------------------------
 # Training-path variant: in-kernel attention-prob dropout. The Bernoulli mask
-# is generated INSIDE the kernel from (seed, program_id) via the TPU PRNG and
-# regenerated identically in the backward kernel - the [B,H,Lq,Lk] mask never
-# exists in HBM in either pass.
+# is generated INSIDE the kernel via the TPU PRNG and regenerated identically
+# in the backward kernel - the [B,H,Lq,Lk] mask never exists in HBM in either
+# pass. Each batch group is seeded from a PER-ROW seed vector (seed +
+# global_row_index, built in mha_pallas_dropout): seeds stay globally unique
+# under SPMD partitioning, where every shard's program_id restarts at 0.
 # ---------------------------------------------------------------------------
 
 
@@ -135,6 +210,22 @@ def _dropout_keep(shape, rate):
     return keep.astype(jnp.float32) / (1.0 - rate)
 
 
+def _group_dropout_mask(seed_ref, shape, rate, interpret):
+    """Seed from this group's first-row seed and draw the keep mask.
+
+    TPU path: hardware PRNG (pltpu). Interpret path (CPU tests/meshes):
+    threefry from the same seed - pltpu.prng_seed has no CPU lowering.
+    Either way the backward kernel reruns this with the identical seed and
+    regenerates the identical mask.
+    """
+    if interpret:
+        key = jax.random.PRNGKey(seed_ref[0, 0].astype(jnp.uint32))
+        keep = jax.random.uniform(key, shape) >= rate
+        return keep.astype(jnp.float32) / (1.0 - rate)
+    pltpu.prng_seed(seed_ref[0, 0])
+    return _dropout_keep(shape, rate)
+
+
 def _attn_probs(q, k, bias, scale):
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -144,10 +235,11 @@ def _attn_probs(q, k, bias, scale):
 
 
 def _attention_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
-                                  o_ref, *, scale, rate):
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+                                  o_ref, *, scale, rate, interpret):
+    # seed_ref is this group's [g, 1] slice of the per-row seed vector; the
+    # group's first row's seed is globally unique (rows are disjoint)
     p = _attn_probs(q_ref[:], k_ref[:], bias_ref[:], scale)
-    m = _dropout_keep(p.shape, rate)
+    m = _group_dropout_mask(seed_ref, p.shape, rate, interpret)
     o = jax.lax.dot_general(
         (p * m).astype(v_ref.dtype), v_ref[:],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -157,12 +249,11 @@ def _attention_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
 
 def _attention_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
                                   g_ref, dq_ref, dk_ref, dv_ref,
-                                  *, scale, rate):
-    # regenerate the exact forward mask: same seed, same program_id
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+                                  *, scale, rate, interpret):
+    # regenerate the exact forward mask: same per-group seed, same bit order
     q, k, v = q_ref[:], k_ref[:], v_ref[:]
     p = _attn_probs(q, k, bias_ref[:], scale)
-    m = _dropout_keep(p.shape, rate)
+    m = _group_dropout_mask(seed_ref, p.shape, rate, interpret)
     g = g_ref[:].astype(jnp.float32)
     v32 = v.astype(jnp.float32)
     pm = p * m
@@ -189,14 +280,17 @@ def _attention_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
 
 
 def _dropout_specs(g, lq, lk, d):
-    # index maps take (*grid_indices, *scalar_prefetch_refs)
-    qspec = pl.BlockSpec((g, lq, d), lambda i, *_: (i, 0, 0),
+    qspec = pl.BlockSpec((g, lq, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((g, lk, d), lambda i, *_: (i, 0, 0),
+    kspec = pl.BlockSpec((g, lk, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((g, lk), lambda i, *_: (i, 0),
+    bspec = pl.BlockSpec((g, lk), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    return qspec, kspec, bspec
+    # [bh, 1] per-row seeds: (g, 1) blocks keep the last-two-dims block rule
+    # (g 8-divisible, trailing dim full)
+    sspec = pl.BlockSpec((g, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, bspec, sspec
 
 
 def _pick_group(bh, group=None):
@@ -207,68 +301,105 @@ def _pick_group(bh, group=None):
     return g
 
 
-def _fused_dropout_fwd_impl(q, k, v, bias, seed, rate, group=None):
+def _fused_dropout_fwd_impl(seeds, q, k, v, bias, *, rate, group=None):
+    """seeds [bh, 1] int32 per-row, q [bh, lq, d], k/v [bh, lk, d],
+    bias [bh, lk] -> [bh, lq, d]."""
     bh, lq, d = q.shape
     lk = k.shape[1]
     g = _pick_group(bh, group)
-    qspec, kspec, bspec = _dropout_specs(g, lq, lk, d)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(bh // g,),
-        in_specs=[qspec, kspec, kspec, bspec],
-        out_specs=pl.BlockSpec((g, lq, d), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM))
+    qspec, kspec, bspec, sspec = _dropout_specs(g, lq, lk, d)
+    interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         functools.partial(_attention_dropout_fwd_kernel,
-                          scale=1.0 / (d ** 0.5), rate=rate),
+                          scale=1.0 / (d ** 0.5), rate=rate,
+                          interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-        grid_spec=grid_spec,
-        interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray([seed], jnp.int32), q, k, v, bias)
+        grid=(bh // g,),
+        in_specs=[sspec, qspec, kspec, kspec, bspec],
+        out_specs=pl.BlockSpec((g, lq, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(seeds, q, k, v, bias)
 
 
-def _fused_dropout_bwd_impl(q, k, v, bias, seed, rate, g_out,
+def _fused_dropout_bwd_impl(seeds, q, k, v, bias, g_out, *, rate,
                             group=None):
     bh, lq, d = q.shape
     lk = k.shape[1]
     g = _pick_group(bh, group)
-    qspec, kspec, bspec = _dropout_specs(g, lq, lk, d)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(bh // g,),
-        in_specs=[qspec, kspec, kspec, bspec, qspec],
-        out_specs=[
-            pl.BlockSpec((g, lq, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, lk, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, lk, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ])
+    qspec, kspec, bspec, sspec = _dropout_specs(g, lq, lk, d)
+    interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         functools.partial(_attention_dropout_bwd_kernel,
-                          scale=1.0 / (d ** 0.5), rate=rate),
+                          scale=1.0 / (d ** 0.5), rate=rate,
+                          interpret=interpret),
         out_shape=[jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
                    jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
                    jax.ShapeDtypeStruct((bh, lk, d), v.dtype)],
-        grid_spec=grid_spec,
+        grid=(bh // g,),
+        in_specs=[sspec, qspec, kspec, kspec, bspec, qspec],
+        out_specs=[
+            pl.BlockSpec((g, lq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lk, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lk, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray([seed], jnp.int32), q, k, v, bias, g_out)
+    )(seeds, q, k, v, bias, g_out)
+
+
+_DROPOUT_RULE_IN = "b one, b lq d, b lk d, b lk d, b lk"
+# sorted by first-appearance factor index (Shardy requires it)
+_DROPOUT_REPL = ("one", "lq", "d", "lk")
+
+
+@functools.lru_cache(maxsize=None)
+def _dropout_fwd_sharded(rate: float):
+    def impl(seeds, q, k, v, bias):
+        return _fused_dropout_fwd_impl(seeds, q, k, v, bias, rate=rate)
+
+    fn = custom_partitioning(impl)
+    fn.def_partition(
+        partition=_dim0_partition(impl),
+        infer_sharding_from_operands=_dim0_infer(),
+        sharding_rule=f"{_DROPOUT_RULE_IN} -> b lq d",
+        need_replication_factors=_DROPOUT_REPL)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _dropout_bwd_sharded(rate: float):
+    def impl(seeds, q, k, v, bias, g_out):
+        return _fused_dropout_bwd_impl(seeds, q, k, v, bias, g_out,
+                                       rate=rate)
+
+    fn = custom_partitioning(impl)
+    fn.def_partition(
+        partition=_dim0_partition(impl),
+        infer_sharding_from_operands=_dim0_infer(3),
+        sharding_rule=f"{_DROPOUT_RULE_IN}, b lq d"
+                      " -> b lq d, b lk d, b lk d",
+        need_replication_factors=_DROPOUT_REPL)
+    return fn
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_attention_dropout(q, k, v, bias, seed, rate):
+def fused_attention_dropout(q, k, v, bias, seeds, rate):
     """Fused attention with in-kernel inverted dropout on the probabilities
-    (rate static; seed a traced int32 scalar)."""
-    return _fused_dropout_fwd_impl(q, k, v, bias, seed, rate)
+    (rate static; seeds a traced [bh, 1] int32 vector of per-row seeds)."""
+    return _dropout_fwd_sharded(rate)(seeds, q, k, v, bias)
 
 
-def _fwd_drop(q, k, v, bias, seed, rate):
-    return _fused_dropout_fwd_impl(q, k, v, bias, seed, rate), \
-        (q, k, v, bias, seed)
+def _fwd_drop(q, k, v, bias, seeds, rate):
+    return _dropout_fwd_sharded(rate)(seeds, q, k, v, bias), \
+        (q, k, v, bias, seeds)
 
 
 def _bwd_drop(rate, res, g_out):
-    q, k, v, bias, seed = res
-    dq, dk, dv = _fused_dropout_bwd_impl(q, k, v, bias, seed, rate, g_out)
+    q, k, v, bias, seeds = res
+    dq, dk, dv = _dropout_bwd_sharded(rate)(seeds, q, k, v, bias, g_out)
     return dq, dk, dv, jnp.zeros_like(bias), None
 
 
@@ -278,7 +409,9 @@ fused_attention_dropout.defvjp(_fwd_drop, _bwd_drop)
 def mha_pallas_dropout(q: Array, k: Array, v: Array,
                        attn_bias: Optional[Array], seed: Array,
                        rate: float) -> Array:
-    """[B, H, L, D] wrapper for the dropout variant."""
+    """[B, H, L, D] wrapper for the dropout variant. The scalar seed expands
+    to per-row seeds (seed + row index) so masks stay distinct across batch
+    groups AND across mesh shards."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     qf = q.reshape(b * h, lq, d)
@@ -289,8 +422,9 @@ def mha_pallas_dropout(q: Array, k: Array, v: Array,
     else:
         bias = jnp.broadcast_to(attn_bias[:, 0, 0, :][:, None, :],
                                 (b, h, lk)).reshape(b * h, lk)
+    seeds = (seed + jax.lax.iota(jnp.int32, b * h))[:, None]
     out = fused_attention_dropout(qf, kf, vf, bias.astype(jnp.float32),
-                                  seed, rate)
+                                  seeds, rate)
     return out.reshape(b, h, lq, d)
 
 

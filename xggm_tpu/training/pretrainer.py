@@ -34,19 +34,9 @@ class LxmertPretrainer:
         self.output = cfg.output
         os.makedirs(self.output, exist_ok=True)
 
-        # same constraint as XGGMTrainer: pallas custom calls don't
-        # auto-partition under GSPMD on a multi-device mesh
-        if (mesh is not None and mesh.size > 1
-                and cfg.lxmert.bert.use_pallas_attention):
-            import dataclasses as _dc
-            import warnings
-            warnings.warn("use_pallas_attention disabled for mesh "
-                          "pretraining (single-chip kernels)")
-            cfg = cfg.replace(lxmert=cfg.lxmert.replace(
-                bert=_dc.replace(cfg.lxmert.bert,
-                                 use_pallas_attention=False)))
-            self.cfg = cfg
-
+        # pallas attention carries custom_partitioning rules
+        # (ops/pallas_attention._dim0_partition): the fused kernels
+        # partition over any mesh, so no fallback is needed here
         num_answers = train_feat.ds.num_answers
         self.answer_table = train_feat.ds.answer_table
         self.model = PretrainModel(

@@ -90,21 +90,11 @@ class XGGMTrainer:
         self.num_answers = num_answers
         self.cfg = cfg = cfg.replace(num_answers=num_answers)
 
-        # Pallas attention is a single-chip kernel: a pallas custom call
-        # inside a GSPMD-jitted step does not auto-partition over a
-        # multi-device mesh. Fall back to the XLA path there (it shards
-        # cleanly) until the kernels get a shard_map wrapper.
-        if (mesh is not None and mesh.size > 1
-                and cfg.lxmert.bert.use_pallas_attention):
-            import dataclasses as _dc
-            import warnings
-            warnings.warn("use_pallas_attention disabled: mesh has "
-                          f"{mesh.size} devices; the fused kernels are "
-                          "single-chip (XLA attention shards instead)")
-            self.cfg = cfg = cfg.replace(lxmert=cfg.lxmert.replace(
-                bert=_dc.replace(cfg.lxmert.bert,
-                                 use_pallas_attention=False)))
-
+        # Pallas attention partitions over any mesh: the kernels carry
+        # custom_partitioning rules (batch-parallel over the leading axis,
+        # ops/pallas_attention._dim0_partition), so the fused path survives
+        # multi-device SPMD - matching the reference carrying its full model
+        # under DataParallel (src/lxrt/entry.py:103-104).
         self.model = XGGMModel(cfg.lxmert, cfg.ggm, num_answers)
         self.params = self._init_params()
 
