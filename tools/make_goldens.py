@@ -227,6 +227,133 @@ def make_loss_goldens():
     print("losses.npz:", float(sm), float(kl), float(bce))
 
 
+def _pretrain_batch(rng, B, vocab=128, L=20, N=36, F=32, num_ans=16):
+    """Fixed featurized pretraining batch in the reference forward's format
+    (lxmert_pretrain.py:283-305): ids/seg/mask, -1-padded lm labels,
+    matched labels, per-visual-loss (label, conf) pairs, -1-padded answers."""
+    ids = rng.randint(1, vocab, (B, L)).astype(np.int64)
+    mask = np.ones((B, L), np.int64)
+    mask[:, 14:] = 0
+    seg = np.zeros((B, L), np.int64)
+    lm_labels = np.full((B, L), -1, np.int64)
+    for b in range(B):  # a few masked positions per row
+        for pos in rng.choice(12, 3, replace=False):
+            lm_labels[b, pos] = rng.randint(1, vocab)
+    feats = rng.randn(B, N, F).astype(np.float32)
+    boxes = rng.rand(B, N, 4).astype(np.float32)
+    matched = (rng.rand(B) > 0.5).astype(np.int64)
+    obj_labels = rng.randint(0, 1600, (B, N)).astype(np.int64)
+    attr_labels = rng.randint(0, 400, (B, N)).astype(np.int64)
+    conf = (rng.rand(B, N) > 0.7).astype(np.float32)  # masked objects only
+    feat_target = rng.randn(B, N, F).astype(np.float32)
+    ans = np.where(matched.astype(bool) & (rng.rand(B) > 0.3),
+                   rng.randint(0, num_ans, B), -1).astype(np.int64)
+    return dict(input_ids=ids, segment_ids=seg, input_mask=mask,
+                lm_labels=lm_labels, feats=feats, boxes=boxes,
+                matched=matched, obj_labels=obj_labels,
+                attr_labels=attr_labels, conf=conf, feat_target=feat_target,
+                ans=ans)
+
+
+def _pretrain_forward_args(torch, b):
+    obj_labels = {"obj": (torch.from_numpy(b["obj_labels"]),
+                          torch.from_numpy(b["conf"])),
+                  "attr": (torch.from_numpy(b["attr_labels"]),
+                           torch.from_numpy(b["conf"])),
+                  "feat": (torch.from_numpy(b["feat_target"]),
+                           torch.from_numpy(b["conf"]))}
+    return (torch.from_numpy(b["input_ids"]),
+            torch.from_numpy(b["segment_ids"]),
+            torch.from_numpy(b["input_mask"]),
+            torch.from_numpy(b["lm_labels"]),
+            torch.from_numpy(b["feats"]), torch.from_numpy(b["boxes"]),
+            obj_labels, torch.from_numpy(b["matched"]),
+            torch.from_numpy(b["ans"]))
+
+
+def _make_tiny_pretraining(M, num_ans=16, feat_dim=32):
+    M.VISUAL_CONFIG.l_layers = 2
+    M.VISUAL_CONFIG.x_layers = 1
+    M.VISUAL_CONFIG.r_layers = 1
+    M.VISUAL_CONFIG.set_visual_dims(feat_dim, 4)
+    # the reference's visual_loss_config hardcodes feat dim 2048
+    # (modeling.py:168-172); scale it to the tiny feat dim for the fixture
+    M.VISUAL_CONFIG.visual_loss_config["feat"] = (
+        feat_dim, "l2", (-1, feat_dim), 1 / 0.15)
+    cfg = M.BertConfig(vocab_size_or_config_json_file=128, hidden_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       intermediate_size=128, max_position_embeddings=64)
+    return M.LXRTPretraining(cfg, task_mask_lm=True, task_matched=True,
+                             task_obj_predict=True,
+                             visual_losses="obj,attr,feat", task_qa=True,
+                             num_answers=num_ans)
+
+
+def make_pretrain_golden():
+    """LXRTPretraining 4-loss forward (reference modeling.py:1007-1061) on a
+    fixed featurized batch: per-loss values + total + answer logits."""
+    import torch
+    import lxrt.modeling as M
+
+    torch.manual_seed(0)
+    model = _make_tiny_pretraining(M)
+    model.eval()
+
+    rng = np.random.RandomState(23)
+    b = _pretrain_batch(rng, B=4)
+    with torch.no_grad():
+        total, losses, ans_logit = model(*_pretrain_forward_args(torch, b))
+    np.savez_compressed(
+        os.path.join(OUT, "pretrain_tiny.npz"),
+        **{f"sd::{k}": v for k, v in flat_sd(model).items()},
+        **{f"in::{k}": v for k, v in b.items()},
+        total=np.float32(total.item()),
+        losses=losses.numpy()[0].astype(np.float32),  # LM,Matched,Obj,Attr,Feat,QA
+        ans_logit=ans_logit.numpy())
+    print("pretrain_tiny.npz: total", float(total.item()),
+          "losses", losses.numpy()[0].tolist())
+
+
+def make_pretrain_trajectory_golden():
+    """Reference pretraining loop (lxmert_pretrain.py:308-341): BertAdam
+    warmup 0.05, clip 1.0, ONE optimizer step per batch - 4 steps over 2
+    alternating fixed batches, dropout off (eval mode), loss sequence
+    recorded."""
+    import torch
+    import lxrt.modeling as M
+    from lxrt.optimization import BertAdam
+
+    torch.manual_seed(0)
+    model = _make_tiny_pretraining(M)
+    model.eval()  # dropout off; grads still flow
+
+    rng = np.random.RandomState(31)
+    batches = [_pretrain_batch(rng, B=4) for _ in range(2)]
+    sd0 = flat_sd(model)
+
+    optim = BertAdam(model.parameters(), lr=1e-3, warmup=0.05, t_total=8)
+    seq = []
+    for step in range(4):
+        b = batches[step % 2]
+        optim.zero_grad()
+        total, losses, _ = model(*_pretrain_forward_args(torch, b))
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        optim.step()
+        seq.append(np.concatenate([[total.item()],
+                                   losses.detach().numpy()[0]]))
+    np.savez_compressed(
+        os.path.join(OUT, "pretrain_traj_tiny.npz"),
+        **{f"sd::{k}": v for k, v in sd0.items()},
+        **{f"b0::{k}": v for k, v in batches[0].items()},
+        **{f"b1::{k}": v for k, v in batches[1].items()},
+        loss_seq=np.asarray(seq, np.float32),
+        final_pooler_kernel=model.bert.pooler.dense.weight.detach()
+        .numpy().T.copy())
+    print("pretrain_traj_tiny.npz: loss seq",
+          [float(s[0]) for s in seq])
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     setup_reference()
@@ -235,6 +362,8 @@ def main():
     make_ggm_goldens()
     make_bert_adam_golden()
     make_loss_goldens()
+    make_pretrain_golden()
+    make_pretrain_trajectory_golden()
 
 
 if __name__ == "__main__":
