@@ -189,3 +189,73 @@ def test_task_glue_parity():
     x_gen = fusion.apply(p, jnp.concatenate([x, summary], axis=-1))
     np.testing.assert_allclose(np.asarray(x_gen), g["out_xgen"],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_stacked_unstacked_equivalence():
+    """config.stacked_layers is a pure param-LAYOUT change: the same weights
+    must give identical forward outputs and identical gradients through the
+    scan VJP. The stacked path is a measured-and-rejected DEFAULT
+    (docs/PERF.md ledger: 102.8 vs 90.2 ms step even fully unrolled) kept as
+    a tested opt-in - this pins its numerics so it stays usable."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from xggm_tpu.checkpoint.torch_bridge import stack_encoder_flat
+    from xggm_tpu.models.lxmert import LxmertModel
+
+    cfg_u = TINY_CFG.replace(stacked_layers=False)
+    cfg_s = TINY_CFG.replace(stacked_layers=True)
+    rng = np.random.RandomState(0)
+    B, L, N = 2, 8, 5
+    ids = rng.randint(1, 128, (B, L)).astype(np.int32)
+    mask = np.ones((B, L), np.int32)
+    seg = np.zeros((B, L), np.int32)
+    feats = rng.randn(B, N, 32).astype(np.float32)
+    boxes = rng.rand(B, N, 4).astype(np.float32)
+
+    model_u, model_s = LxmertModel(cfg_u), LxmertModel(cfg_s)
+    params_u = model_u.init(jax.random.PRNGKey(0), ids, mask, seg,
+                            feats, boxes)
+
+    def to_flat(tree):
+        return {"lxrt/" + "/".join(k): np.asarray(v)
+                for k, v in flatten_dict(tree["params"]).items()}
+
+    def from_flat(flat):
+        return {"params": unflatten_dict(
+            {tuple(k[len("lxrt/"):].split("/")): jnp.asarray(v)
+             for k, v in flat.items()})}
+
+    params_s = from_flat(stack_encoder_flat(to_flat(params_u), cfg_s))
+    ref_s = model_s.init(jax.random.PRNGKey(1), ids, mask, seg, feats, boxes)
+    assert (jax.tree.map(jnp.shape, params_s)
+            == jax.tree.map(jnp.shape, ref_s))
+
+    def fwd(model, params):
+        (lang, visn), pooled = model.apply(params, ids, mask, seg,
+                                           feats, boxes, deterministic=True)
+        return lang, visn, pooled
+
+    for a, b, nm in zip(fwd(model_u, params_u), fwd(model_s, params_s),
+                        ("lang", "visn", "pooled")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=nm)
+
+    # VJP path (the delicate part of the scan transform): grads agree
+    # leaf-for-leaf after restacking the per-layer grads.
+    def loss(model):
+        def f(p):
+            lang, visn, pooled = fwd(model, p)
+            return jnp.sum(lang ** 2) + jnp.sum(visn ** 2) + \
+                jnp.sum(pooled ** 2)
+        return f
+
+    g_u = stack_encoder_flat(to_flat(jax.grad(loss(model_u))(params_u)),
+                             cfg_s)
+    g_s = to_flat(jax.grad(loss(model_s))(params_s))
+    assert set(g_u) == set(g_s)
+    for k in sorted(g_u):
+        # fp32 accumulation order differs across the two layouts (scan
+        # stacks the per-layer contributions before the embedding-grad
+        # reduce) - tolerance covers reassociation only, not real drift.
+        np.testing.assert_allclose(g_s[k], g_u[k], rtol=1e-4, atol=5e-5,
+                                   err_msg=k)

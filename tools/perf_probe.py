@@ -57,6 +57,9 @@ def main():
                     help="single-traversal jnp clip+update+apply")
     ap.add_argument("--no_pallas", action="store_true",
                     help="disable the Pallas attention kernels (XLA path)")
+    ap.add_argument("--unstacked", action="store_true",
+                    help="per-layer params (unrolled encoder) instead of "
+                         "the scan-over-layers stacks")
     args = ap.parse_args()
     variants = args.variants.split(",")
 
@@ -82,6 +85,7 @@ def main():
     cfg = gqa_ood_config()
     cfg = cfg.replace(lxmert=cfg.lxmert.replace(
         dtype="bfloat16",
+        stacked_layers=not args.unstacked,
         bert=dataclasses.replace(cfg.lxmert.bert,
                                  use_pallas_attention=not args.no_pallas)))
     model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)

@@ -17,7 +17,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def capture(steps: int, prng: str, out_dir: str):
+def capture(steps: int, prng: str, out_dir: str, unstacked: bool = False):
     import jax
     if prng:
         jax.config.update("jax_default_prng_impl", prng)
@@ -34,6 +34,7 @@ def capture(steps: int, prng: str, out_dir: str):
     cfg = gqa_ood_config()
     cfg = cfg.replace(lxmert=cfg.lxmert.replace(
         dtype="bfloat16",
+        stacked_layers=not unstacked,
         bert=dataclasses.replace(cfg.lxmert.bert,
                                  use_pallas_attention=True)))
     model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
@@ -111,9 +112,10 @@ def main():
     ap.add_argument("--prng", default="rbg")
     ap.add_argument("--dir", default="/tmp/xggm_trace")
     ap.add_argument("--analyze_only", action="store_true")
+    ap.add_argument("--unstacked", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
-        capture(args.steps, args.prng, args.dir)
+        capture(args.steps, args.prng, args.dir, unstacked=args.unstacked)
     analyze(args.dir, args.steps)
 
 

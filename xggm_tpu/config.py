@@ -72,12 +72,19 @@ class LxmertConfig:
     # rate; params and LayerNorm/softmax accumulation stay float32.
     dtype: str = "float32"
     # Scan-over-layers: stack each homogeneous layer group's params into
-    # [L, ...] leaves consumed by lax.scan (9 lang + 5 visual + 5 x-layer
+    # [L, ...] leaves consumed by nn.scan (9 lang + 5 visual + 5 x-layer
     # trees -> 3 stacks). Collapses ~330 per-layer optimizer leaves into 56
     # big ones - one fused update loop per stacked leaf instead of hundreds
     # of small launches. The torch bridge stacks/unstacks transparently
     # (checkpoint/torch_bridge.stack_encoder_flat).
-    stacked_layers: bool = True
+    #
+    # Measured on v5e and REJECTED as the default (docs/PERF.md ledger):
+    # the optimizer does get faster (18.7 -> 13.8 ms in the same probe run)
+    # but the scan VJP's stacked-gradient accumulation costs ~12.6 ms of
+    # fwd/bwd even fully unrolled - full step 102.8 ms (unroll=L) /
+    # 131 ms (rolled) vs 90.2 ms per-layer. Kept as a tested opt-in
+    # (equivalence pinned by tests/test_parity.py).
+    stacked_layers: bool = False
 
     @property
     def compute_dtype(self):

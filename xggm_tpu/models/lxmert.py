@@ -304,14 +304,22 @@ class _XStackBody(nn.Module):
 
 def _layer_stack(body_cls, cfg: BertConfig, dtype, det: bool, length: int,
                  name: str):
-    """lax.scan over `length` stacked layers: params get a leading [L] axis
+    """Scan over `length` stacked layers: params get a leading [L] axis
     (variable_axes), per-layer dropout keys are split from one stream
-    (split_rngs), and the attention biases broadcast unscanned."""
+    (split_rngs), and the attention biases broadcast unscanned.
+
+    unroll=length: the param layout stays stacked (big optimizer leaves,
+    stacked gradients out of the VJP) but the COMPUTE unrolls into one
+    straight-line graph - measured on v5e, a rolled while-loop costs
+    +41 ms/step (131 vs 90 ms) because weight prefetch cannot cross the
+    loop barrier, while full unroll keeps XLA's cross-layer scheduling and
+    turns the per-iteration dynamic slices into free static slices."""
     scan = nn.scan(body_cls,
                    variable_axes={"params": 0},
                    split_rngs={"params": True, "dropout": True},
                    in_axes=nn.broadcast,
-                   length=length)
+                   length=length,
+                   unroll=length)
     return scan(cfg, dtype, det, name=name)
 
 
@@ -368,10 +376,11 @@ class LxmertEncoder(nn.Module):
             feats, boxes, deterministic)
 
         if self.cfg.stacked_layers:
-            # scan-over-layers: each stack's params are single [L, ...]
-            # leaves - the optimizer update runs one fused loop per stacked
-            # leaf instead of hundreds of per-layer launches, and the VJP's
-            # scan emits gradients already stacked.
+            # scan-over-layers (opt-in; see config.stacked_layers): each
+            # stack's params are single [L, ...] leaves - the optimizer
+            # update runs one fused loop per stacked leaf instead of
+            # hundreds of per-layer launches, and the VJP's scan emits
+            # gradients already stacked.
             lang, _ = _layer_stack(_BertStackBody, c, dt, deterministic,
                                    v.l_layers, "lang_stack")(lang, lang_bias)
             visn, _ = _layer_stack(_BertStackBody, c, dt, deterministic,
