@@ -217,36 +217,43 @@ def ref_setup():
     return model, sd0
 
 
-def test_full_depth_trajectory_parity():
-    """Same trajectory pin at the SHIPPED encoder depth (9/5/5 x 768,
-    script/gqa_ood.sh) - 2 steps, GQA ordering. The 2/1/1 cases above
-    exercise the composition cheaply; this one confirms nothing drifts when
-    the full 19-layer stack accumulates over a train step."""
-    global L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, BRANCH_PLAN
-    import copy
+@pytest.mark.parametrize("ordering,n_steps",
+                         [("ggm_first", 6), ("clean_first", 3)])
+def test_full_depth_trajectory_parity(ordering, n_steps):
+    """Trajectory pin at the SHIPPED encoder depth (9/5/5 x 768,
+    script/gqa_ood.sh) - 6 steps (12 optimizer updates), BOTH task
+    orderings, with t_total small enough that the run CROSSES the
+    warmup-linear peak (warmup 0.1 x t_total 16 -> peak at opt step 1.6)
+    and samples deep into the decay arm. The 2/1/1 cases above exercise the
+    composition cheaply; this one confirms nothing drifts when the full
+    19-layer stack and the schedule crossing accumulate."""
+    global L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, BRANCH_PLAN, T_TOTAL
     import dataclasses
 
     import jax
 
     from xggm_tpu.checkpoint.torch_bridge import (
         convert_task_model, merge_into)
-    from xggm_tpu.config import gqa_ood_config
+    from xggm_tpu.config import gqa_ood_config, vqacpv2_config
     from xggm_tpu.models.task_model import XGGMModel
     from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
     from xggm_tpu.training.steps import TrainState, make_ggm_train_step
 
-    saved = (L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, list(BRANCH_PLAN))
+    saved = (L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, list(BRANCH_PLAN),
+             T_TOTAL)
     try:
         L_LAYERS, X_LAYERS, R_LAYERS = 9, 5, 5
-        N_STEPS = 2
-        BRANCH_PLAN[:2] = ["relation", "representation"]
+        N_STEPS = n_steps
+        T_TOTAL = 16  # 12 opt steps cross the peak (1.6) into decay (12/16)
+        BRANCH_PLAN[:] = (["relation", "representation"] * 3)[:n_steps]
         model_t = _build_ref_model()
         from make_goldens import flat_sd
         sd0 = flat_sd(model_t)
         batches = _make_np_batches(2)
-        records = _torch_trajectory(model_t, batches, "ggm_first")
+        records = _torch_trajectory(model_t, batches, ordering)
 
-        cfg = gqa_ood_config()
+        cfg = gqa_ood_config() if ordering == "ggm_first" else \
+            vqacpv2_config()
         cfg = cfg.replace(
             num_answers=NUM_ANS,
             ggm=dataclasses.replace(cfg.ggm, dropout=0.0, sigma=SIGMA),
@@ -256,6 +263,7 @@ def test_full_depth_trajectory_parity():
                     attention_probs_dropout_prob=0.0)))
         assert (cfg.lxmert.visual.l_layers, cfg.lxmert.visual.x_layers,
                 cfg.lxmert.visual.r_layers) == (9, 5, 5)
+        assert cfg.train.clean_phase_first == (ordering == "clean_first")
 
         model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
         b0 = {k: v.astype(np.int32) if v.dtype == np.int64 else v
@@ -285,12 +293,13 @@ def test_full_depth_trajectory_parity():
             state, m = steps[BRANCH_PLAN[i]](state, b, jax.random.PRNGKey(i))
             np.testing.assert_allclose(
                 float(m["ggm_loss"]), rec["ggm_loss"], rtol=5e-3,
-                err_msg=f"full-depth step {i} ggm loss")
+                err_msg=f"full-depth step {i} ggm loss, {ordering}")
             np.testing.assert_allclose(
                 float(m["clean_loss"]), rec["clean_loss"], rtol=5e-3,
-                err_msg=f"full-depth step {i} clean loss")
+                err_msg=f"full-depth step {i} clean loss, {ordering}")
+        assert int(jax.device_get(state.opt_state.count)) == 2 * N_STEPS
     finally:
-        L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, plan = saved
+        L_LAYERS, X_LAYERS, R_LAYERS, N_STEPS, plan, T_TOTAL = saved
         BRANCH_PLAN[:] = plan
 
 
@@ -361,3 +370,95 @@ def test_two_phase_trajectory_parity(ref_setup, ordering):
             float(m["d_loss"]), rec["d_loss"], rtol=5e-3,
             err_msg=f"step {i} d_loss, {ordering}")
     assert int(jax.device_get(state.opt_state.count)) == 2 * N_STEPS
+
+
+def test_dropout_on_loss_envelope(ref_setup):
+    """Dropout-ON statistical guard: bit-parity is impossible across RNG
+    stacks, so pin the stochastic training path distributionally instead.
+    Reference loop (dropout 0.1 / generator 0.5, model.train()) runs 8
+    seeds x 3 clean-first steps; our step (same dropout rates, functional
+    PRNG) runs 4 seeds. Each per-step mean clean/ggm loss must land inside
+    the reference envelope (mean +- 4 combined standard errors, plus a
+    floor) - catches wrong rates, non-inverted scaling, or dropout applied
+    in the wrong places, while staying robust to seed noise."""
+    import copy
+    import dataclasses
+
+    import jax
+    import torch
+
+    from xggm_tpu.checkpoint.torch_bridge import (
+        convert_task_model, merge_into)
+    from xggm_tpu.config import vqacpv2_config
+    from xggm_tpu.models.task_model import XGGMModel
+    from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
+    from xggm_tpu.training.steps import TrainState, make_ggm_train_step
+
+    model_t0, sd0 = ref_setup
+    batches = _make_np_batches(2)
+    n_steps, plan = 3, ["representation"] * 3  # VQA delta=0: rep-only
+
+    ref_runs = []
+    for seed in range(8):
+        model_t = copy.deepcopy(model_t0)
+        model_t.train()  # dropout ON
+        torch.manual_seed(seed)
+        global N_STEPS, BRANCH_PLAN
+        saved = (N_STEPS, list(BRANCH_PLAN))
+        try:
+            N_STEPS = n_steps
+            BRANCH_PLAN[:] = plan
+            records = _torch_trajectory(model_t, batches, "clean_first")
+        finally:
+            N_STEPS, BRANCH_PLAN = saved[0], saved[1]
+            BRANCH_PLAN[:] = saved[1]
+        ref_runs.append([(r["clean_loss"], r["ggm_loss"]) for r in records])
+    ref_runs = np.asarray(ref_runs)           # [8, 3, 2]
+    ref_mean, ref_std = ref_runs.mean(0), ref_runs.std(0)
+
+    cfg = vqacpv2_config()
+    cfg = cfg.replace(
+        num_answers=NUM_ANS,
+        ggm=dataclasses.replace(cfg.ggm, sigma=SIGMA),  # dropout 0.5 default
+        lxmert=cfg.lxmert.replace(visual=dataclasses.replace(
+            cfg.lxmert.visual, l_layers=L_LAYERS, x_layers=X_LAYERS,
+            r_layers=R_LAYERS)))
+    model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
+    b0 = {k: v.astype(np.int32) if v.dtype == np.int64 else v
+          for k, v in batches[0].items()}
+    params0 = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        b0["input_ids"], b0["input_mask"], b0["segment_ids"],
+        b0["feats"], b0["boxes"], b0["adj"], jax.random.PRNGKey(2),
+        method=XGGMModel.init_all)
+    flat = convert_task_model(sd0, cfg.lxmert, gnn="GCN", n_layers=2)
+    params0, unmatched = merge_into(params0, flat)
+    assert not unmatched, unmatched[:5]
+    params_host = jax.tree.map(np.asarray, params0)
+
+    scales = lr_scale_tree(params0, lambda p: not p.startswith("params/lxrt"),
+                           1.0, 0.25)
+    tx = bert_adam(lr=4 * LR, warmup=0.1, t_total=T_TOTAL, lr_scale=scales)
+    step = make_ggm_train_step(model, tx, cfg.train, "representation")
+
+    our_runs = []
+    for seed in range(4):
+        params = jax.tree.map(jax.numpy.asarray, params_host)
+        state = TrainState(params, tx.init(params))
+        key = jax.random.PRNGKey(100 + seed)
+        run = []
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            b = {k: v.astype(np.int32) if v.dtype == np.int64 else v
+                 for k, v in batches[i % len(batches)].items()}
+            state, m = step(state, b, sub)
+            run.append((float(m["clean_loss"]), float(m["ggm_loss"])))
+        our_runs.append(run)
+    our_mean = np.asarray(our_runs).mean(0)   # [3, 2]
+
+    # envelope: |mean_ours - mean_ref| <= 4 * combined SE + small floor
+    se = ref_std * np.sqrt(1 / 8 + 1 / 4)
+    tol = 4.0 * se + 0.02 * np.abs(ref_mean)
+    assert np.all(np.abs(our_mean - ref_mean) <= tol), (
+        f"dropout-ON loss envelope violated:\nours {our_mean}\n"
+        f"ref {ref_mean} +- {tol}")
