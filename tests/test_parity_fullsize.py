@@ -27,7 +27,20 @@ B, L, N = 4, 20, 36
 @pytest.fixture(scope="module")
 def fullsize_golden():
     """Random-init full-size reference LXRTModel -> (state dict, inputs,
-    outputs) as numpy."""
+    outputs) as numpy. Disk-cached (tests/ref_cache.py): deterministic
+    derivation, re-run live whenever this file or the golden tooling
+    changes."""
+    from ref_cache import cached
+    here = os.path.dirname(os.path.abspath(__file__))
+    return cached(
+        "fullsize_golden", dict(depth=(9, 5, 5), b=B, l=L, n=N),
+        _build_fullsize_golden,
+        depends_on=(os.path.abspath(__file__),
+                    os.path.join(os.path.dirname(here), "tools",
+                                 "make_goldens.py")))
+
+
+def _build_fullsize_golden():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     from make_goldens import flat_sd, setup_reference

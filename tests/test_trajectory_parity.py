@@ -12,6 +12,11 @@ config with zero dropout probabilities) - the trajectories are otherwise the
 real training computation. Encoder depth is reduced to 2/1/1 (hidden stays
 768 - the reference GQAModel hardwires it) to keep runtime sane; every layer
 type is still exercised.
+
+The torch-side products (initial state dict, loss sequences, noise draws)
+are deterministic, so they are disk-cached via tests/ref_cache.py - any
+edit to this file or tools/make_goldens.py re-runs the reference live;
+`rm -rf tests/.ref_cache` forces a full reproduction.
 """
 import os
 import sys
@@ -22,6 +27,17 @@ import pytest
 REF = os.environ.get("XGGM_REFERENCE_PATH", "/root/reference")
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference not mounted")
+
+from ref_cache import cached  # noqa: E402  (torch products disk cache)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+# make_goldens must be importable even on fully-warm cache runs (where
+# _build_ref_model - which also prepends this path - never executes)
+sys.path.insert(0, os.path.join(os.path.dirname(_HERE), "tools"))
+# Every source file the torch-side derivation flows through: editing any of
+# them invalidates the cached reference products and re-runs torch live.
+_DEPS = (os.path.abspath(__file__),
+         os.path.join(os.path.dirname(_HERE), "tools", "make_goldens.py"))
 
 BS, NUM_ANS, SEQ, NOBJ, HID = 4, 32, 20, 36, 768
 L_LAYERS, X_LAYERS, R_LAYERS = 2, 1, 1
@@ -209,12 +225,35 @@ def _torch_trajectory(model, batches, ordering):
     return records
 
 
+class _RefSetup:
+    """Lazy handle on the reduced-depth reference model: the torch model is
+    only BUILT when a cache miss actually needs it (sd0 and the trajectory
+    records are served from tests/.ref_cache on warm runs)."""
+
+    def __init__(self):
+        self._model = None
+
+    def fresh_model(self):
+        """A pristine (seed-0) reference model; safe to mutate via
+        deepcopy at call sites."""
+        if self._model is None:
+            self._model = _build_ref_model()
+        return self._model
+
+    @property
+    def sd0(self):
+        from make_goldens import flat_sd
+        return cached(
+            "refsetup_sd0",
+            dict(depth=(L_LAYERS, X_LAYERS, R_LAYERS), hid=HID,
+                 num_ans=NUM_ANS),
+            lambda: flat_sd(self.fresh_model()),  # BEFORE any optim step
+            depends_on=_DEPS)
+
+
 @pytest.fixture(scope="module")
 def ref_setup():
-    model = _build_ref_model()
-    from make_goldens import flat_sd
-    sd0 = flat_sd(model)  # snapshot BEFORE any optimizer step
-    return model, sd0
+    return _RefSetup()
 
 
 @pytest.mark.parametrize("ordering,n_steps",
@@ -246,11 +285,20 @@ def test_full_depth_trajectory_parity(ordering, n_steps):
         N_STEPS = n_steps
         T_TOTAL = 16  # 12 opt steps cross the peak (1.6) into decay (12/16)
         BRANCH_PLAN[:] = (["relation", "representation"] * 3)[:n_steps]
-        model_t = _build_ref_model()
-        from make_goldens import flat_sd
-        sd0 = flat_sd(model_t)
         batches = _make_np_batches(2)
-        records = _torch_trajectory(model_t, batches, ordering)
+
+        def build():
+            model_t = _build_ref_model()
+            from make_goldens import flat_sd
+            return (flat_sd(model_t),
+                    _torch_trajectory(model_t, batches, ordering))
+
+        sd0, records = cached(
+            "fulldepth_traj",
+            dict(ordering=ordering, n_steps=n_steps, depth=(9, 5, 5),
+                 t_total=T_TOTAL, lr=LR, sigma=SIGMA,
+                 plan=tuple(BRANCH_PLAN), bs=BS, num_ans=NUM_ANS),
+            build, depends_on=_DEPS)
 
         cfg = gqa_ood_config() if ordering == "ggm_first" else \
             vqacpv2_config()
@@ -317,10 +365,17 @@ def test_two_phase_trajectory_parity(ref_setup, ordering):
     from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
     from xggm_tpu.training.steps import TrainState, make_ggm_train_step
 
-    model_t, sd0 = ref_setup
-    model_t = copy.deepcopy(model_t)  # each ordering gets fresh weights
+    sd0 = ref_setup.sd0
     batches = _make_np_batches(2)
-    records = _torch_trajectory(model_t, batches, ordering)
+    records = cached(
+        "twophase_traj",
+        dict(ordering=ordering, n_steps=N_STEPS,
+             depth=(L_LAYERS, X_LAYERS, R_LAYERS), t_total=T_TOTAL, lr=LR,
+             sigma=SIGMA, plan=tuple(BRANCH_PLAN), bs=BS, num_ans=NUM_ANS),
+        # each ordering gets fresh weights (deepcopy of the pristine model)
+        lambda: _torch_trajectory(copy.deepcopy(ref_setup.fresh_model()),
+                                  batches, ordering),
+        depends_on=_DEPS)
 
     cfg = gqa_ood_config() if ordering == "ggm_first" else vqacpv2_config()
     cfg = cfg.replace(
@@ -394,26 +449,35 @@ def test_dropout_on_loss_envelope(ref_setup):
     from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
     from xggm_tpu.training.steps import TrainState, make_ggm_train_step
 
-    model_t0, sd0 = ref_setup
+    sd0 = ref_setup.sd0
     batches = _make_np_batches(2)
     n_steps, plan = 3, ["representation"] * 3  # VQA delta=0: rep-only
 
-    ref_runs = []
-    for seed in range(8):
-        model_t = copy.deepcopy(model_t0)
-        model_t.train()  # dropout ON
-        torch.manual_seed(seed)
-        global N_STEPS, BRANCH_PLAN
-        saved = (N_STEPS, list(BRANCH_PLAN))
-        try:
-            N_STEPS = n_steps
-            BRANCH_PLAN[:] = plan
-            records = _torch_trajectory(model_t, batches, "clean_first")
-        finally:
-            N_STEPS, BRANCH_PLAN = saved[0], saved[1]
-            BRANCH_PLAN[:] = saved[1]
-        ref_runs.append([(r["clean_loss"], r["ggm_loss"]) for r in records])
-    ref_runs = np.asarray(ref_runs)           # [8, 3, 2]
+    def build_ref_runs():
+        runs = []
+        for seed in range(8):
+            model_t = copy.deepcopy(ref_setup.fresh_model())
+            model_t.train()  # dropout ON
+            torch.manual_seed(seed)
+            global N_STEPS, BRANCH_PLAN
+            saved = (N_STEPS, list(BRANCH_PLAN))
+            try:
+                N_STEPS = n_steps
+                BRANCH_PLAN[:] = plan
+                records = _torch_trajectory(model_t, batches, "clean_first")
+            finally:
+                N_STEPS, BRANCH_PLAN = saved[0], saved[1]
+                BRANCH_PLAN[:] = saved[1]
+            runs.append([(r["clean_loss"], r["ggm_loss"])
+                         for r in records])
+        return np.asarray(runs)
+
+    ref_runs = cached(                         # [8, 3, 2]
+        "dropout_envelope",
+        dict(seeds=8, n_steps=n_steps, plan=tuple(plan),
+             depth=(L_LAYERS, X_LAYERS, R_LAYERS), t_total=T_TOTAL, lr=LR,
+             sigma=SIGMA, bs=BS, num_ans=NUM_ANS),
+        build_ref_runs, depends_on=_DEPS)
     ref_mean, ref_std = ref_runs.mean(0), ref_runs.std(0)
 
     cfg = vqacpv2_config()
