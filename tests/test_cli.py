@@ -1,0 +1,68 @@
+"""Hermetic end-to-end CLI test.
+
+Drives the real console entry point (xggm_tpu.cli.gqa_ood, reference
+src/gqa/gqa_ood.py __main__ + script/gqa_ood.sh) in a subprocess on
+synthetic data with --device cpu - the full pipeline a user runs: synthetic
+corpus generation, tokenization, feeder, two-phase training with mid-epoch
+val, BEST checkpointing, then the test arm reloading BEST and writing
+{split}_predict.json.
+
+Until round 3 the CLI path only ran manually on the TPU; --device cpu
+(cli/common.py) makes it testable in CI. The subprocess starts from the
+pinned JAX_PLATFORMS=axon environment, so this also proves the flag wins
+over the env (the CLAUDE.md sitecustomize quirk).
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(module, argv, cwd):
+    proc = subprocess.run(
+        [sys.executable, "-m", module] + argv,
+        cwd=REPO, capture_output=True, text=True, timeout=1500,
+        env={**os.environ, "JAX_COMPILATION_CACHE_DIR":
+             os.path.join(REPO, "tests", ".jax_cache")})
+    assert proc.returncode == 0, (
+        f"{module} {' '.join(argv)} failed (rc={proc.returncode})\n"
+        f"stdout tail:\n{proc.stdout[-2000:]}\n"
+        f"stderr tail:\n{proc.stderr[-2000:]}")
+    return proc.stdout
+
+
+def test_gqa_ood_cli_end_to_end(tmp_path):
+    data_root = str(tmp_path / "data")
+    output = str(tmp_path / "snap")
+    arch = ["--llayers", "1", "--xlayers", "1", "--rlayers", "1",
+            "--gnn", "GCN", "--num_layer", "1"]
+    common = ["--synthetic", "--device", "cpu", "--data_root", data_root,
+              "--output", output] + arch
+
+    # train arm: 1 epoch, two-phase loop, BEST checkpoint policy
+    out = _run_cli("xggm_tpu.cli.gqa_ood", common + [
+        "--train", "train", "--valid", "val",
+        "--bs", "8", "--optim", "bert", "--lr", "5e-5", "--epochs", "1",
+        "--sigma", "1.0", "--delta", "5"], cwd=REPO)
+    assert "Oracle score:" in out and "Best valid:" in out
+
+    # training artifacts: args.json dump + log + BEST params
+    assert os.path.exists(os.path.join(output, "args.json"))
+    assert any(f.startswith("BEST") for f in os.listdir(output)), \
+        os.listdir(output)
+
+    # test arm: reload BEST, predict, dump json, print accuracy
+    out = _run_cli("xggm_tpu.cli.gqa_ood", common + [
+        "--test", "val", "--bs", "16", "--load", os.path.join(output, "BEST"),
+    ], cwd=REPO)
+    assert "val accuracy:" in out
+    pred_path = os.path.join(output, "val_predict.json")
+    with open(pred_path) as f:
+        preds = json.load(f)
+    # GQA submission format (reference gqa_ood_data.py dump_result):
+    # [{"questionId": ..., "prediction": <answer string>}, ...]
+    assert len(preds) > 0
+    from xggm_tpu.data.synthetic import ANSWERS
+    assert all(r["prediction"] in ANSWERS for r in preds)

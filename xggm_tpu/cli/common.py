@@ -108,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax PRNG implementation for dropout keys; rbg is "
                         "the TPU-native generator (-18%% step time on v5e). "
                         "Dropout quality is equivalent; draws differ.")
+    p.add_argument("--device", default=None, choices=["cpu", "tpu"],
+                   help="force the jax platform (default: whatever jax "
+                        "initialized with). --device cpu makes every CLI "
+                        "path runnable hermetically, e.g. in CI")
     return p
 
 
@@ -158,9 +162,18 @@ def seed_everything(seed: int) -> None:
 
 
 def configure_prng(args) -> None:
-    """Select the jax PRNG implementation for this process (must run before
-    any PRNGKey is created)."""
+    """Select the jax platform + PRNG implementation for this process (must
+    run before any PRNGKey / device array is created).
+
+    --device is applied via jax.config (NOT env vars): a sitecustomize in
+    this environment pre-imports jax, so JAX_PLATFORMS set after process
+    start is ignored (CLAUDE.md quirk); jax.config.update works regardless.
+    """
     import jax
+
+    device = getattr(args, "device", None)
+    if device:
+        jax.config.update("jax_platforms", device)
 
     impl = getattr(args, "prng", "rbg")
     jax.config.update("jax_default_prng_impl", impl)
