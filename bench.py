@@ -233,6 +233,12 @@ def main():
     assert np.isfinite(final_loss), "non-finite loss in rotation run"
     rot_pairs_per_sec = bs * n_rot / dt
 
+    # peak HBM (bytes) if the backend exposes it - documents batch headroom
+    # (the axon relay device reports no memory_stats; omit rather than 0)
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)() or {}
+    hbm = ({"peak_hbm_gb": round(stats["peak_bytes_in_use"] / 2**30, 2)}
+           if "peak_bytes_in_use" in stats else {})
+
     value = round(step_pairs_per_sec, 2)  # per chip; bench runs on one chip
     print(json.dumps({
         "metric": "train_qa_pairs_per_sec_per_chip",
@@ -243,6 +249,7 @@ def main():
         "e2e_staged_rotation_pairs_per_sec": round(rot_pairs_per_sec, 2),
         "e2e_host_assembly_pairs_per_sec": round(asm_pairs_per_sec, 2),
         "e2e_batches": n_e2e,
+        **hbm,
         "e2e_note": ("e2e is bound by the axon relay's ~15 MB/s host->device "
                      "link in this environment; host assembly outruns the "
                      "step rate, so on a real TPU host (PCIe, GB/s) e2e "

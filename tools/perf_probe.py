@@ -286,6 +286,72 @@ def main():
         float(np.asarray(ls)[-1])
         results["step_scan8"] = (time.perf_counter() - t0) / (reps * K)
 
+    if "step_bf16p" in variants:
+        # bf16 params CARRIED ACROSS steps: fwd/bwd read half the weight
+        # bytes (today each GEMM re-reads fp32 master with the convert
+        # fused into the read). Numerically identical activations - the
+        # model already casts every fp32 param to bf16 at use - but grads
+        # become bf16 cotangents, upcast (fused into the dW epilogue)
+        # before the unchanged fp32 BertAdam. Cost: one bf16 param-copy
+        # write after each of the two optimizer updates.
+        from xggm_tpu.ops.losses import score_matching_loss, symmetric_kl
+        num_ans = model.num_answers
+
+        def ggm_loss(pb, b, dk, nk):
+            logits, adj_gen, grad_log, adj_true = model.apply(
+                pb, *_batch_args(b), b["adj"], nk, deterministic=False,
+                rngs={"dropout": dk}, method=XGGMModel.relation_branch)
+            d_loss = symmetric_kl(adj_gen, adj_true) * num_ans
+            lg = score_matching_loss(adj_gen, grad_log, model.ggm.sigma)
+            return (bce_with_logits(logits, b["target"]) * num_ans
+                    + cfg.train.rel_sm_mult
+                    * (cfg.train.rel_d_mult * d_loss + lg))
+
+        def clean_loss(pb, b, dk):
+            logits = model.apply(pb, *_batch_args(b), deterministic=False,
+                                 rngs={"dropout": dk},
+                                 method=XGGMModel.clean_forward)
+            return bce_with_logits(logits, b["target"]) * num_ans
+
+        def cast_bf16(p):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
+
+        def upcast(g):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == jnp.bfloat16 else x, g)
+
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def bf16_step(carry, b, key):
+            params, pb, opt = carry
+            kg, kc = jax.random.split(key)
+            dk, nk = jax.random.split(kg)
+            l1, grads = jax.value_and_grad(ggm_loss)(pb, b, dk, nk)
+            ts = _clip_update_apply(tx, upcast(grads),
+                                    TrainState(params, opt),
+                                    cfg.train.grad_clip)
+            pb = cast_bf16(ts.params)
+            l2, grads = jax.value_and_grad(clean_loss)(pb, b, kc)
+            ts = _clip_update_apply(tx, upcast(grads), ts,
+                                    cfg.train.grad_clip)
+            pb = cast_bf16(ts.params)
+            return (ts.params, pb, ts.opt_state), {"l1": l1, "l2": l2}
+
+        params = fresh_params()
+        carry = (params, cast_bf16(params), tx.init(params))
+        out = bf16_step(carry, batch, jax.random.PRNGKey(0))
+        sync_state(out)
+        carry = out[0]
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            carry, m = bf16_step(carry, batch, jax.random.PRNGKey(i))
+        sync_state((carry, m))
+        results["step_bf16p"] = (time.perf_counter() - t0) / args.iters
+
     if "fwd_clean" in variants:
         params = fresh_params()
         fwd = jax.jit(lambda p, b: model.apply(
