@@ -115,7 +115,8 @@ def main():
     from xggm_tpu.data.feeder import Feeder
     from xggm_tpu.models.task_model import XGGMModel
     from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
-    from xggm_tpu.training.steps import TrainState, make_ggm_train_step
+    from xggm_tpu.training.steps import (
+        TrainState, bf16_param_shadow, make_ggm_train_step)
     from __graft_entry__ import _make_batch
 
     import dataclasses
@@ -150,7 +151,9 @@ def main():
     # (95.9 ms vs 93.6 ms) - its 132 per-leaf kernel launches offset the
     # bandwidth savings at this parameter count
     tx = bert_adam(lr=4 * 5e-6, warmup=0.1, t_total=10_000, lr_scale=scales)
-    state = TrainState(params, tx.init(params))
+    # bf16 param shadow (cfg.train.bf16_params, the trainer default): steps
+    # read weights as bf16, halving weight-read bytes; masters stay fp32
+    state = TrainState(params, tx.init(params), bf16_param_shadow(params))
 
     steps = {br: make_ggm_train_step(model, tx, cfg.train, br)
              for br in ("relation", "representation")}

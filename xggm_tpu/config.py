@@ -132,6 +132,14 @@ class TrainConfig:
     # Clean-first ordering: VQA-CP runs the plain BCE step before the GGM step
     # (src/vqa/vqacpv2.py:170-254); GQA runs GGM first (src/gqa/gqa_ood.py:172-289).
     clean_phase_first: bool = False
+    # Carry a bf16 working copy of the bf16-consumed params across steps so
+    # fwd/bwd GEMMs read half the weight bytes (TPU-side optimization; only
+    # active with bfloat16 compute). The model casts those leaves to bf16 at
+    # use either way, so this is the same bf16 computation - equal to the
+    # fp32-param path at bf16 rounding level (XLA's excess-precision folding
+    # may keep extra precision in the fp32-param graph; see
+    # tests/test_bf16_shadow.py). -2.7% step time on v5e (docs/PERF.md).
+    bf16_params: bool = True
 
 
 @dataclass(frozen=True)

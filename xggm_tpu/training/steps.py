@@ -34,6 +34,69 @@ Array = jax.Array
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
+    # Optional bf16 working copies of the bf16-consumed leaves of `params`
+    # (bf16_param_shadow, a flat {path: leaf} dict): when present, train
+    # steps run fwd/bwd from masters-with-shadow-overlaid (_apply_params) -
+    # the GEMMs read half the weight bytes - and refresh the shadow after
+    # each optimizer update. Only leaves the model itself casts to bf16 at
+    # use are shadowed, so by construction the operands entering every op
+    # are the same bf16 values; in practice XLA's excess-precision folding
+    # (on by default) may elide the fp32->bf16 convert in the MASTER graph
+    # and carry extra precision through some fused ops, so the two paths
+    # agree at bf16 rounding level rather than bit-exactly
+    # (tests/test_bf16_shadow.py pins the envelope). `params` stays the fp32
+    # master the optimizer updates. Holding ONLY the cast leaves (not the
+    # fp32 passthroughs) keeps the state alias-free for donate_argnums.
+    params_bf16: Any = None
+
+
+# Parent-module markers for params consumed in float32 (LayerNormBase
+# computes in fp32; ops/basic.py). Leaf names 'scale' (LayerNorm) and
+# 'embedding' (nn.Embed tables, gathered then LayerNormed in fp32) are
+# excluded by the kernel/bias allowlist below.
+_LN_MARKERS = ("layernorm", "layer_norm")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def _bf16_consumed(path) -> bool:
+    """True iff the model casts this param to bf16 at its point of use
+    (nn.Dense kernels/biases built via ops.basic.dense with dtype=bf16)."""
+    keys = [str(getattr(k, "key", k)) for k in path]
+    if keys[-1] not in ("kernel", "bias"):
+        return False
+    parent = keys[-2].lower() if len(keys) > 1 else ""
+    return not any(m in parent for m in _LN_MARKERS)
+
+
+def bf16_param_shadow(params):
+    """Flat {path: leaf} dict of bf16 copies of ONLY the bf16-consumed
+    leaves. fp32-consumed leaves (LayerNorm, embedding tables) are absent -
+    _apply_params reads them from the masters - so the shadow never aliases
+    a master buffer (donate_argnums would reject donating a buffer twice)."""
+    return {_path_str(path): p.astype(jnp.bfloat16)
+            for path, p in jax.tree_util.tree_leaves_with_path(params)
+            if p.dtype == jnp.float32 and _bf16_consumed(path)}
+
+
+def _upcast_grads(grads):
+    """bf16 cotangents -> fp32 for the optimizer: the same upcast the
+    fp32-param graph performs inside the cast VJP."""
+    return jax.tree.map(
+        lambda g: g.astype(jnp.float32) if g.dtype == jnp.bfloat16 else g,
+        grads)
+
+
+def _apply_params(state: TrainState):
+    """Param tree the fwd/bwd runs from: masters with the bf16 shadow
+    overlaid (leaves not in the shadow come straight from the masters)."""
+    if state.params_bf16 is None:
+        return state.params
+    shadow = state.params_bf16
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: shadow.get(_path_str(path), p), state.params)
 
 
 def _clip_update_apply(tx, grads, state: TrainState, clip: float) -> TrainState:
@@ -41,16 +104,19 @@ def _clip_update_apply(tx, grads, state: TrainState, clip: float) -> TrainState:
     then one optimizer step. A transform exposing `fused_step` (the Pallas
     single-pass BertAdam, training/bert_adam.py) performs clip+update+apply
     in one traversal of HBM."""
+    if state.params_bf16 is not None:
+        grads = _upcast_grads(grads)
     fused = getattr(tx, "fused_step", None)
     if fused is not None:
         params, opt_state = fused(grads, state.opt_state, state.params, clip)
-        return TrainState(params, opt_state)
-    gnorm = optax.global_norm(grads)
-    scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
-    grads = jax.tree.map(lambda g: g * scale, grads)
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state)
+    else:
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+    shadow = None if state.params_bf16 is None else bf16_param_shadow(params)
+    return TrainState(params, opt_state, shadow)
 
 
 def _batch_args(batch: Dict[str, Array]) -> Tuple[Array, ...]:
@@ -107,14 +173,14 @@ def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
     def ggm_phase(state, batch, key):
         dk, nk = jax.random.split(key)
         (loss, aux), grads = jax.value_and_grad(ggm_loss, has_aux=True)(
-            state.params, batch, dk, nk)
+            _apply_params(state), batch, dk, nk)
         state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
         aux["ggm_loss"] = loss
         return state, aux
 
     def clean_phase(state, batch, key):
         (loss, logits), grads = jax.value_and_grad(clean_loss, has_aux=True)(
-            state.params, batch, key)
+            _apply_params(state), batch, key)
         state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
         return state, {"clean_loss": loss,
                        "preds": jnp.argmax(logits, axis=-1)}
@@ -156,7 +222,7 @@ def make_clean_train_step(model, tx, cfg: TrainConfig,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, Array], key: Array):
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
+            _apply_params(state), batch, key)
         state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
         return state, {"clean_loss": loss,
                        "preds": jnp.argmax(logits, axis=-1)}

@@ -122,7 +122,7 @@ class XGGMTrainer:
 
             psh = param_shardings(self.params, self.mesh)
             self.params = jax.tree.map(jax.device_put, self.params, psh)
-        self.state = TrainState(self.params, self.tx.init(self.params))
+        self.state = self._make_state(self.params)
 
         self.rel_step = make_ggm_train_step(self.model, self.tx, cfg.train,
                                             "relation")
@@ -153,6 +153,19 @@ class XGGMTrainer:
             print(f"using native xpack store: {pack}")
             return XPackFeatureStore(pack)
         return None
+
+    def _make_state(self, params, opt_state=None) -> TrainState:
+        """Fresh TrainState: fp32 masters + (with bf16 compute) the bf16
+        param shadow the train steps read from (steps.bf16_param_shadow -
+        bit-identical math, half the weight-read bytes)."""
+        from xggm_tpu.training.steps import bf16_param_shadow
+
+        use_shadow = (self.cfg.train.bf16_params
+                      and self.cfg.lxmert.dtype == "bfloat16")
+        return TrainState(
+            params,
+            self.tx.init(params) if opt_state is None else opt_state,
+            bf16_param_shadow(params) if use_shadow else None)
 
     def _init_params(self):
         cfg = self.cfg
@@ -188,7 +201,7 @@ class XGGMTrainer:
         flat, _ = convert_lxrt_bert(sd, self.cfg.lxmert, torch_prefix=prefix,
                                     our_prefix="lxrt")
         self.params, unmatched = merge_into(self.params, flat)
-        self.state = TrainState(self.params, self.tx.init(self.params))
+        self.state = self._make_state(self.params)
         print(f"load_lxmert: {len(flat)} tensors, "
               f"{len(unmatched)} model params untouched")
 
@@ -198,7 +211,7 @@ class XGGMTrainer:
 
         self.params = load_lxmert_qa(path, self.params, self.label2ans,
                                      self.cfg.lxmert, all_ans_path)
-        self.state = TrainState(self.params, self.tx.init(self.params))
+        self.state = self._make_state(self.params)
 
     def load(self, name_or_path: str) -> None:
         """--load: fine-tuned checkpoint - orbax dir or torch .pth."""
@@ -210,7 +223,7 @@ class XGGMTrainer:
                                       self.cfg.ggm.num_layers,
                                       self.cfg.ggm.gat_heads)
             self.params, unmatched = merge_into(self.params, flat)
-            self.state = TrainState(self.params, self.tx.init(self.params))
+            self.state = self._make_state(self.params)
             print(f"load(torch): {len(flat)} tensors, "
                   f"{len(unmatched)} untouched")
         else:
@@ -219,7 +232,8 @@ class XGGMTrainer:
                 like={"params": self.state.params,
                       "opt_state": self.state.opt_state,
                       "epoch": np.asarray(-1, np.int32)})
-            self.state = TrainState(restored["params"], restored["opt_state"])
+            self.state = self._make_state(restored["params"],
+                                          restored["opt_state"])
             self.params = self.state.params
 
     def save(self, name: str, epoch: int = -1) -> None:
@@ -239,7 +253,8 @@ class XGGMTrainer:
             like={"params": self.state.params,
                   "opt_state": self.state.opt_state,
                   "epoch": np.asarray(-1, np.int32)})
-        self.state = TrainState(restored["params"], restored["opt_state"])
+        self.state = self._make_state(restored["params"],
+                                      restored["opt_state"])
         self.params = self.state.params
         print(f"resumed from BEST_{last}")
         return last + 1
