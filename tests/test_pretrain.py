@@ -243,6 +243,46 @@ def test_pretrainer_on_mesh(corpus, tmp_path):
     assert int(np.asarray(tr_mesh.state.opt_state.count)) == 4
 
 
+def test_pretrainer_bf16_shadow(corpus, tmp_path):
+    """With bf16 compute the pretrainer carries the bf16 param shadow
+    (steps.bf16_param_shadow, refreshed by every train_step): fwd/bwd read
+    half the weight bytes; the loss matches the no-shadow run at bf16
+    rounding level, and the refreshed shadow is exactly a cast of the
+    updated masters."""
+    import jax
+
+    from xggm_tpu.training.pretrainer import LxmertPretrainer
+    from xggm_tpu.training.steps import bf16_param_shadow
+
+    root, ds, tok, feat = corpus
+
+    def make(bf16_params, out):
+        cfg = tiny_test_config(
+            output=str(tmp_path / out),
+            train=TrainConfig(batch_size=8, lr=1e-4, epochs=1, seed=0,
+                              bf16_params=bf16_params))
+        cfg = cfg.replace(lxmert=cfg.lxmert.replace(dtype="bfloat16"))
+        return LxmertPretrainer(cfg, feat, valid_feat=feat)
+
+    tr = make(True, "shadow_out")
+    assert tr.state.params_bf16, "bf16 compute must carry the shadow"
+    tr_plain = make(False, "plain_out")
+    assert tr_plain.state.params_bf16 is None
+
+    batch, _ = feat.featurize(list(range(8)))
+    key = jax.random.PRNGKey(3)
+    st, loss, _, _ = tr.train_step(tr.state, batch, key)
+    _, loss_p, _, _ = tr_plain.train_step(tr_plain.state, batch, key)
+    np.testing.assert_allclose(float(loss), float(loss_p),
+                               rtol=2e-2, atol=1e-3)
+    # refreshed shadow is exactly a cast of the updated masters
+    refreshed = bf16_param_shadow(st.params)
+    assert set(st.params_bf16) == set(refreshed)
+    for k in refreshed:
+        np.testing.assert_array_equal(np.asarray(st.params_bf16[k]),
+                                      np.asarray(refreshed[k]))
+
+
 def test_pretrain_evaluator(corpus):
     root, ds, tok, feat = corpus
     ev = LxmertPretrainEvaluator(ds)

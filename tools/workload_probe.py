@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--variants", default="pretrain,inference")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--pretrain_bs", type=int, default=256)
+    ap.add_argument("--bf16_params", type=int, default=1,
+                    help="carry the bf16 param shadow in the pretrain "
+                         "step (config.train.bf16_params); 0 to bisect")
     ap.add_argument("--infer_bs", type=int, default=512)
     args = ap.parse_args()
     variants = args.variants.split(",")
@@ -68,7 +71,8 @@ def main():
                                   task_matched=True, seed=0)
         cfg = gqa_ood_config(
             output=os.path.join(root, "out"),
-            train=TrainConfig(batch_size=bs, lr=1e-4, epochs=1))
+            train=TrainConfig(batch_size=bs, lr=1e-4, epochs=1,
+                              bf16_params=bool(args.bf16_params)))
         cfg = cfg.replace(lxmert=cfg.lxmert.replace(
             dtype="bfloat16",
             bert=dataclasses.replace(cfg.lxmert.bert,

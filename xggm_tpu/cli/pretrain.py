@@ -69,8 +69,8 @@ def main(argv=None):
         restored = trainer.ckpt.load(os.path.basename(args.load),
                                      like={"params": trainer.state.params,
                                            "opt_state": trainer.state.opt_state})
-        from xggm_tpu.training.steps import TrainState
-        trainer.state = TrainState(restored["params"], restored["opt_state"])
+        trainer.state = trainer._make_state(restored["params"],
+                                            restored["opt_state"])
     best = trainer.train()
     print(f"Best eval loss: {best:.4f}")
 

@@ -10,14 +10,14 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from xggm_tpu.config import XGGMConfig
 from xggm_tpu.data.pretrain_data import PretrainFeaturizer
 from xggm_tpu.models.pretrain_model import PretrainModel, LOSSES_NAME
 from xggm_tpu.utils.guard import check_step_finite
 from xggm_tpu.training.bert_adam import bert_adam
-from xggm_tpu.training.steps import TrainState
+from xggm_tpu.training.steps import (
+    TrainState, _apply_params, _clip_update_apply, bf16_param_shadow)
 
 
 class LxmertPretrainer:
@@ -69,7 +69,7 @@ class LxmertPretrainer:
         t_total = int(steps_per_epoch * cfg.train.epochs)
         self.tx = bert_adam(lr=cfg.train.lr, warmup=0.05, t_total=t_total,
                             weight_decay=cfg.train.weight_decay)
-        self.state = TrainState(self.params, self.tx.init(self.params))
+        self.state = self._make_state(self.params)
         self.key = jax.random.PRNGKey(cfg.train.seed)
 
         model = self.model
@@ -81,18 +81,17 @@ class LxmertPretrainer:
                 method=PretrainModel.compute_losses)
             return total, (losses, ans_logits)
 
-        @jax.jit
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):
+            # fwd/bwd from the bf16 shadow when present (steps._apply_params;
+            # masters stay fp32 for BertAdam); global-norm clip 1.0 + one
+            # optimizer step + shadow refresh via steps._clip_update_apply
             (total, (losses, ans_logits)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, batch, key)
-            gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-6))  # clip 1.0
-            grads = jax.tree.map(lambda g: g * scale, grads)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state), total, losses, \
-                jnp.argmax(ans_logits, axis=-1)
+                loss_fn, has_aux=True)(_apply_params(state), batch, key)
+            state = _clip_update_apply(self.tx, grads, state, 1.0)
+            return state, total, losses, jnp.argmax(ans_logits, axis=-1)
 
         @jax.jit
         def valid_step(params, batch):
@@ -107,6 +106,16 @@ class LxmertPretrainer:
 
         from xggm_tpu.checkpoint.manager import CheckpointManager
         self.ckpt = CheckpointManager(self.output)
+
+    def _make_state(self, params, opt_state=None) -> TrainState:
+        """Fresh TrainState: fp32 masters + (with bf16 compute) the bf16
+        param shadow the steps read from (steps.bf16_param_shadow)."""
+        use_shadow = (self.cfg.train.bf16_params
+                      and self.cfg.lxmert.dtype == "bfloat16")
+        return TrainState(
+            params,
+            self.tx.init(params) if opt_state is None else opt_state,
+            bf16_param_shadow(params) if use_shadow else None)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -163,7 +172,7 @@ class LxmertPretrainer:
         total, n = 0.0, 0
         for batch, _uids in self._batches(self.valid_feat, bs, False,
                                           np.random.RandomState(0)):
-            loss, _, _ = self.valid_step(self.state.params,
+            loss, _, _ = self.valid_step(_apply_params(self.state),
                                          self._put(batch))
             total += float(loss)
             n += 1
