@@ -57,9 +57,13 @@ def main():
                     help="single-traversal jnp clip+update+apply")
     ap.add_argument("--no_pallas", action="store_true",
                     help="disable the Pallas attention kernels (XLA path)")
-    ap.add_argument("--unstacked", action="store_true",
-                    help="per-layer params (unrolled encoder) instead of "
-                         "the scan-over-layers stacks")
+    ap.add_argument("--bf16_params", type=int, default=1,
+                    help="carry the bf16 param shadow in the step variant "
+                         "(the production layout); 0 to bisect")
+    ap.add_argument("--stacked", action="store_true",
+                    help="probe the rejected scan-over-layers stacked "
+                         "params opt-in instead of the shipped per-layer "
+                         "default")
     args = ap.parse_args()
     variants = args.variants.split(",")
 
@@ -78,14 +82,15 @@ def main():
     from xggm_tpu.models.task_model import XGGMModel
     from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
     from xggm_tpu.training.steps import (
-        TrainState, _batch_args, _clip_update_apply, make_ggm_train_step)
+        TrainState, _batch_args, _clip_update_apply, bf16_param_shadow,
+        make_ggm_train_step)
     from xggm_tpu.ops.losses import bce_with_logits
     from __graft_entry__ import _make_batch
 
     cfg = gqa_ood_config()
     cfg = cfg.replace(lxmert=cfg.lxmert.replace(
         dtype="bfloat16",
-        stacked_layers=not args.unstacked,
+        stacked_layers=args.stacked,
         bert=dataclasses.replace(cfg.lxmert.bert,
                                  use_pallas_attention=not args.no_pallas)))
     model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
@@ -121,7 +126,9 @@ def main():
 
     if "step" in variants:
         params = fresh_params()
-        st = TrainState(params, tx.init(params))
+        st = TrainState(params, tx.init(params),
+                        bf16_param_shadow(params)
+                        if args.bf16_params else None)
         # non-donating timing loop: feed back the result
         out = step(st, batch, jax.random.PRNGKey(0))
         sync_state(out)

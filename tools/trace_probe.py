@@ -28,7 +28,8 @@ def capture(steps: int, prng: str, out_dir: str, unstacked: bool = False):
     from xggm_tpu.config import gqa_ood_config
     from xggm_tpu.models.task_model import XGGMModel
     from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
-    from xggm_tpu.training.steps import TrainState, make_ggm_train_step
+    from xggm_tpu.training.steps import (
+        TrainState, bf16_param_shadow, make_ggm_train_step)
     from __graft_entry__ import _make_batch
 
     cfg = gqa_ood_config()
@@ -51,7 +52,8 @@ def capture(steps: int, prng: str, out_dir: str, unstacked: bool = False):
     scales = lr_scale_tree(params, lambda p: not p.startswith("params/lxrt"),
                            1.0, 0.25)
     tx = bert_adam(lr=4 * 5e-6, warmup=0.1, t_total=10_000, lr_scale=scales)
-    state = TrainState(params, tx.init(params))
+    # bf16 param shadow: the production layout (trainer default w/ bf16)
+    state = TrainState(params, tx.init(params), bf16_param_shadow(params))
     step = make_ggm_train_step(model, tx, cfg.train, "relation")
     batch = jax.device_put(batch)
 
@@ -112,10 +114,11 @@ def main():
     ap.add_argument("--prng", default="rbg")
     ap.add_argument("--dir", default="/tmp/xggm_trace")
     ap.add_argument("--analyze_only", action="store_true")
-    ap.add_argument("--unstacked", action="store_true")
+    ap.add_argument("--stacked", action="store_true",
+                help="trace the rejected stacked-layers opt-in instead of the\n                     shipped unstacked default")
     args = ap.parse_args()
     if not args.analyze_only:
-        capture(args.steps, args.prng, args.dir, unstacked=args.unstacked)
+        capture(args.steps, args.prng, args.dir, unstacked=not args.stacked)
     analyze(args.dir, args.steps)
 
 

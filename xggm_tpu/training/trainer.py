@@ -374,8 +374,12 @@ class XGGMTrainer:
                         shuffle=False, drop_last=False, mesh=self.mesh,
                         feats_dtype=self._feats_dtype)
         quesid2ans: Dict[object, str] = {}
+        # eval from the bf16 shadow when carried (same bf16 operand values
+        # the model would cast to anyway; half the weight-read bytes)
+        from xggm_tpu.training.steps import _apply_params
+        eval_params = _apply_params(self.state)
         for qids, batch, mask in feeder:
-            preds = np.asarray(self.eval_step(self.state.params, batch))
+            preds = np.asarray(self.eval_step(eval_params, batch))
             # the feeder pads trailing rows; preds[:len(qids)] relies on that
             assert bool(np.all(mask[: len(qids)])) and not np.any(
                 mask[len(qids):]), "feeder mask must be trailing padding"
