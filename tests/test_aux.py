@@ -50,13 +50,21 @@ def test_vqa_annotations_api(tmp_path):
     assert ev.evaluate(vqa.get_ques_ids())["overall"] == pytest.approx(100.0)
 
 
-def test_file_cache(tmp_path):
+def test_file_cache_offline(tmp_path, monkeypatch):
+    """Zero-egress behavior: unreachable URLs fall back to the staged
+    etag-less cache entry; a true miss raises with the staging recipe."""
+    from xggm_tpu.utils import file_cache
+
+    # simulate no egress deterministically (no DNS timeout dependence)
+    monkeypatch.setattr(file_cache, "_http_etag",
+                        lambda url, timeout: (_ for _ in ()).throw(
+                            OSError("network unreachable")))
     cache = str(tmp_path / "cache")
     src = tmp_path / "weights.bin"
     src.write_bytes(b"abc123")
     url = "https://example.com/bert/model.bin"
-    # miss -> informative error
-    with pytest.raises(FileNotFoundError, match="no egress"):
+    # miss -> informative error naming the staging helper
+    with pytest.raises(FileNotFoundError, match="cache_put"):
         cached_path(url, cache_dir=cache)
     # put + hit
     cache_put(str(src), url, cache_dir=cache)
@@ -65,6 +73,82 @@ def test_file_cache(tmp_path):
     assert os.path.basename(hit) == url_to_filename(url)
     # plain local path passthrough
     assert cached_path(str(src), cache_dir=cache) == str(src)
+    # s3 without boto3: cache-only path, same staging fallback
+    s3url = "s3://bucket/model.bin"
+    cache_put(str(src), s3url, cache_dir=cache)
+    assert open(cached_path(s3url, cache_dir=cache), "rb").read() == b"abc123"
+
+
+class _EtagHandler:
+    """Local HTTP file server with ETag support (hermetic stand-in for the
+    reference's HEAD-then-GET download protocol, file_utils.py:180-232)."""
+
+    def __init__(self, payload: bytes, etag: str):
+        import http.server
+        import threading
+
+        self.head_count = 0
+        self.get_count = 0
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _serve(self, with_body):
+                self.send_response(200)
+                self.send_header("ETag", outer.etag)
+                self.send_header("Content-Length", str(len(outer.payload)))
+                self.end_headers()
+                if with_body:
+                    self.wfile.write(outer.payload)
+
+            def do_HEAD(self):
+                outer.head_count += 1
+                self._serve(False)
+
+            def do_GET(self):
+                outer.get_count += 1
+                self._serve(True)
+
+            def log_message(self, *a):
+                pass
+
+        self.payload, self.etag = payload, etag
+        self.server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_port}/model.bin"
+        self.thread = threading.Thread(target=self.server.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_file_cache_http_download(tmp_path):
+    """Real HTTP download through the cache: ETag-keyed entry + metadata,
+    second call served from cache (no new GET), ETag change re-downloads."""
+    import json as jsonlib
+
+    cache = str(tmp_path / "cache")
+    srv = _EtagHandler(b"weights-v1", etag='"v1"')
+    try:
+        got = cached_path(srv.url, cache_dir=cache)
+        assert open(got, "rb").read() == b"weights-v1"
+        assert os.path.basename(got) == url_to_filename(srv.url, '"v1"')
+        meta = jsonlib.load(open(got + ".json"))
+        assert meta == {"url": srv.url, "etag": '"v1"'}
+        assert (srv.head_count, srv.get_count) == (1, 1)
+
+        # warm hit: HEAD revalidates the etag, no body transfer
+        assert cached_path(srv.url, cache_dir=cache) == got
+        assert (srv.head_count, srv.get_count) == (2, 1)
+
+        # server content changes -> new etag -> fresh download, old kept
+        srv.payload, srv.etag = b"weights-v2", '"v2"'
+        got2 = cached_path(srv.url, cache_dir=cache)
+        assert got2 != got and open(got2, "rb").read() == b"weights-v2"
+        assert srv.get_count == 2
+    finally:
+        srv.close()
 
 
 def test_tf_bridge_mapping():
