@@ -123,6 +123,40 @@ def test_equivalent_trajectory(setup, first_branch):
                                       np.asarray(refreshed[k]))
 
 
+def test_shadow_on_mesh_matches_single(setup):
+    """DP mesh with the shadow = single-device shadow run, loss-identical:
+    the shadow leaves inherit the replicated param shardings through the
+    cast, and the SPMD step's all-reduced grads produce the same update."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from xggm_tpu.parallel.mesh import make_mesh
+
+    cfg, model, tx, params, _ = setup
+    from __graft_entry__ import _make_batch
+    batch = _make_batch(np.random.RandomState(7), 8,  # divisible by 8 devs
+                        cfg.lxmert.bert.vocab_size,
+                        cfg.lxmert.visual.visual_feat_dim, cfg.num_answers)
+    step = make_ggm_train_step(model, tx, cfg.train, "representation")
+    params_host = jax.tree.map(np.asarray, params)
+
+    losses = {}
+    for on_mesh in (False, True):
+        if on_mesh:
+            mesh = make_mesh(n_devices=8, model_parallel=1)
+            p = jax.device_put(
+                jax.tree.map(jnp.asarray, params_host),
+                NamedSharding(mesh, P()))
+            b = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))),
+                batch)
+        else:
+            p = jax.tree.map(jnp.asarray, params_host)
+            b = batch
+        state = TrainState(p, tx.init(p), bf16_param_shadow(p))
+        _, m = step(state, b, jax.random.PRNGKey(11))
+        losses[on_mesh] = (float(m["clean_loss"]), float(m["ggm_loss"]))
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
 def test_equivalent_clean_step(setup):
     cfg, model, tx, params, batch = setup
     step = make_clean_train_step(model, tx, cfg.train, cfg.num_answers)
