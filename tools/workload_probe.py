@@ -129,6 +129,15 @@ def main():
                 method=XGGMModel.clean_forward)
             return jnp.argmax(logits, axis=-1)
 
+        # production predict path (trainer.predict): eval from the bf16
+        # shadow overlaid on the masters - same operand values the model
+        # casts to at use, half the weight-read bytes
+        from xggm_tpu.training.steps import (
+            TrainState, _apply_params, bf16_param_shadow)
+        if args.bf16_params:
+            params = _apply_params(TrainState(
+                params, None, bf16_param_shadow(params)))
+
         preds = infer(params, batch)
         int(np.asarray(preds)[0])  # compile + sync
         t0 = time.perf_counter()
