@@ -33,6 +33,33 @@ def _run_cli(module, argv, cwd):
     return proc.stdout
 
 
+def test_pretrain_cli_end_to_end(tmp_path):
+    """Pretraining CLI (reference lxmert_pretrain.py __main__): synthetic
+    corpus, all four tasks, bf16 (exercises the bf16 param shadow +
+    donated step), Epoch/BEST checkpoints, then --load resume (the
+    _make_state restore path)."""
+    data_root = str(tmp_path / "data")
+    output = str(tmp_path / "snap_pt")
+    common = ["--device", "cpu", "--data_root", data_root,
+              "--output", output, "--dtype", "bfloat16",
+              "--llayers", "1", "--xlayers", "1", "--rlayers", "1",
+              "--train", "mscoco_train", "--valid", "mscoco_train",
+              "--taskMaskLM", "--taskMatched", "--taskObjPredict",
+              "--taskQA", "--bs", "8", "--epochs", "1", "--lr", "1e-4"]
+
+    out = _run_cli("xggm_tpu.cli.pretrain", ["--synthetic"] + common,
+                   cwd=REPO)
+    assert "Mask_LM" in out and "Best eval loss:" in out
+    assert os.path.exists(os.path.join(output, "Epoch01"))
+    assert os.path.exists(os.path.join(output, "BEST_EVAL_LOSS"))
+
+    # resume from the saved epoch (restores params+opt_state, rebuilds the
+    # bf16 shadow) and train one more epoch
+    out = _run_cli("xggm_tpu.cli.pretrain", common + [
+        "--load", os.path.join(output, "Epoch01")], cwd=REPO)
+    assert "Best eval loss:" in out
+
+
 def test_gqa_ood_cli_end_to_end(tmp_path):
     data_root = str(tmp_path / "data")
     output = str(tmp_path / "snap")
