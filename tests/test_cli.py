@@ -20,12 +20,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_cli(module, argv, cwd):
+def _run_cli(module, argv, cwd, extra_env=None):
     proc = subprocess.run(
         [sys.executable, "-m", module] + argv,
         cwd=REPO, capture_output=True, text=True, timeout=1500,
         env={**os.environ, "JAX_COMPILATION_CACHE_DIR":
-             os.path.join(REPO, "tests", ".jax_cache")})
+             os.path.join(REPO, "tests", ".jax_cache"),
+             **(extra_env or {})})
     assert proc.returncode == 0, (
         f"{module} {' '.join(argv)} failed (rc={proc.returncode})\n"
         f"stdout tail:\n{proc.stdout[-2000:]}\n"
@@ -58,6 +59,77 @@ def test_pretrain_cli_end_to_end(tmp_path):
     out = _run_cli("xggm_tpu.cli.pretrain", common + [
         "--load", os.path.join(output, "Epoch01")], cwd=REPO)
     assert "Best eval loss:" in out
+
+
+def test_vqacpv2_cli_end_to_end(tmp_path):
+    """VQA-CP v2 CLI (reference src/vqa/vqacpv2.py __main__ +
+    script/vqacpv2.sh): clean-phase-first two-phase training, then the test
+    arm reloading BEST and dumping {tmode}_predict.json in the official
+    submission format."""
+    data_root = str(tmp_path / "data")
+    output = str(tmp_path / "snap_vqa")
+    arch = ["--llayers", "1", "--xlayers", "1", "--rlayers", "1",
+            "--gnn", "GAT", "--num_layer", "1"]
+    common = ["--synthetic", "--device", "cpu", "--data_root", data_root,
+              "--output", output] + arch
+
+    out = _run_cli("xggm_tpu.cli.vqacpv2", common + [
+        "--train", "train", "--valid", "val",
+        "--bs", "8", "--optim", "bert", "--lr", "5e-5", "--epochs", "1",
+        "--sigma", "1.0", "--delta", "0"], cwd=REPO)
+    assert "Best valid:" in out
+    assert os.path.exists(os.path.join(output, "args.json"))
+    assert any(f.startswith("BEST") for f in os.listdir(output)), \
+        os.listdir(output)
+
+    # test arm: reference vqacpv2.py:384-401 dumps {tmode}_predict.json
+    out = _run_cli("xggm_tpu.cli.vqacpv2", common + [
+        "--test", "val", "--tmode", "OOD", "--bs", "16",
+        "--load", os.path.join(output, "BEST")], cwd=REPO)
+    assert "val (OOD) accuracy:" in out
+    with open(os.path.join(output, "OOD_predict.json")) as f:
+        preds = json.load(f)
+    assert len(preds) > 0
+    from xggm_tpu.data.synthetic import ANSWERS
+    # VQA submission format: [{"question_id": ..., "answer": ...}, ...]
+    assert all(r["answer"] in ANSWERS for r in preds)
+    assert all(isinstance(r["question_id"], int) for r in preds)
+
+
+def test_multigpu_cli_end_to_end(tmp_path):
+    """--multiGPU through the real CLI (reference entry.py:103-104
+    DataParallel -> our SPMD mesh over all local devices): 8 virtual CPU
+    devices forced at client creation via XLA_FLAGS in the subprocess, batch
+    sharded on the data axis, params placed by the TP-aware shardings."""
+    data_root = str(tmp_path / "data")
+    output = str(tmp_path / "snap_mesh")
+    out = _run_cli("xggm_tpu.cli.gqa_ood", [
+        "--synthetic", "--device", "cpu", "--multiGPU",
+        "--data_root", data_root, "--output", output,
+        "--llayers", "1", "--xlayers", "1", "--rlayers", "1",
+        "--gnn", "GCN", "--num_layer", "1",
+        "--train", "train", "--valid", "val",
+        "--bs", "16", "--optim", "bert", "--lr", "5e-5", "--epochs", "1"],
+        cwd=REPO, extra_env={"XLA_FLAGS":
+                             "--xla_force_host_platform_device_count=8"})
+    assert "Best valid:" in out
+    assert any(f.startswith("BEST") for f in os.listdir(output))
+
+
+def test_vqacpv2_baseline_cli(tmp_path):
+    """Plain-BCE baseline CLI (reference src/vqa/vqacpv2_baseline.py): no GGM
+    phase, single param group, t_total = 1x steps."""
+    data_root = str(tmp_path / "data")
+    output = str(tmp_path / "snap_base")
+    out = _run_cli("xggm_tpu.cli.vqacpv2_baseline", [
+        "--synthetic", "--device", "cpu", "--data_root", data_root,
+        "--output", output,
+        "--llayers", "1", "--xlayers", "1", "--rlayers", "1",
+        "--train", "train", "--valid", "val",
+        "--bs", "8", "--optim", "bert", "--lr", "5e-5", "--epochs", "1"],
+        cwd=REPO)
+    assert "Best valid:" in out
+    assert any(f.startswith("BEST") for f in os.listdir(output))
 
 
 def test_gqa_ood_cli_end_to_end(tmp_path):
