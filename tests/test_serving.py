@@ -1,0 +1,219 @@
+"""Serving artifacts (xggm_tpu/serving): jax.export roundtrips, padding,
+symbolic batch, model-code-free loading, and the HTTP server end-to-end.
+
+The reference has no serving subsystem (its test arm is an offline predict
+loop, src/gqa/gqa_ood.py:379-403); these tests pin the TPU-native
+deployment path: artifact == compiled graph + weights + answer vocab.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from xggm_tpu.config import tiny_test_config
+from xggm_tpu.models.task_model import XGGMModel
+from xggm_tpu.serving import export_model, ServingModel
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _tiny(dtype="float32"):
+    cfg = tiny_test_config()
+    cfg = cfg.replace(lxmert=cfg.lxmert.replace(dtype=dtype))
+    model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
+    from __graft_entry__ import _make_batch
+    rng = np.random.RandomState(0)
+    batch = _make_batch(rng, 8, cfg.lxmert.bert.vocab_size,
+                        cfg.lxmert.visual.visual_feat_dim, cfg.num_answers)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+        batch["feats"], batch["boxes"], batch["adj"], jax.random.PRNGKey(2),
+        method=XGGMModel.init_all)
+    serve_batch = {k: batch[k] for k in ("input_ids", "input_mask",
+                                         "segment_ids", "feats", "boxes")}
+    return cfg, model, params, serve_batch
+
+
+def _direct_logits(model, params, batch):
+    return np.asarray(model.apply(
+        params, batch["input_ids"], batch["input_mask"],
+        batch["segment_ids"], batch["feats"], batch["boxes"],
+        deterministic=True, method=XGGMModel.clean_forward),
+        dtype=np.float32)
+
+
+def test_export_roundtrip_fp32(tmp_path):
+    cfg, model, params, batch = _tiny("float32")
+    art = str(tmp_path / "art")
+    export_model(model, params, art, batch_size=8,
+                 label2ans=[f"a{i}" for i in range(cfg.num_answers)],
+                 platforms=("cpu",), bf16_weights=False)
+    sm = ServingModel.load(art)
+    got = sm.predict_logits(batch)
+    want = _direct_logits(model, params, batch)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    answers = sm.predict_answers(batch)
+    assert answers == [f"a{i}" for i in np.argmax(want, -1)]
+
+
+def test_export_bf16_shadow_layout(tmp_path):
+    """Default export carries the bf16 weight layout trainer.predict reads:
+    Dense kernels stored as bf16 (half artifact size), LayerNorm/embeddings
+    fp32; outputs agree with the direct fp32-param graph at bf16 level."""
+    cfg, model, params, batch = _tiny("bfloat16")
+    art = str(tmp_path / "art_bf16")
+    export_model(model, params, art, batch_size=8, platforms=("cpu",))
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    dt = meta["param_dtypes"]
+    assert any(v == "bfloat16" for v in dt.values())  # dense kernels
+    ln = [k for k in dt if "LayerNorm" in k or "layernorm" in k.lower()]
+    assert ln and all(dt[k] == "float32" for k in ln)
+    sm = ServingModel.load(art)
+    got = sm.predict_logits(batch)
+    want = _direct_logits(model, params, batch)
+    # bf16-rounding-level envelope (same as tests/test_bf16_shadow.py)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+    assert not np.allclose(got, 0)
+
+
+def test_ragged_batch_padding(tmp_path):
+    cfg, model, params, batch = _tiny("float32")
+    art = str(tmp_path / "art")
+    export_model(model, params, art, batch_size=8, platforms=("cpu",),
+                 bf16_weights=False)
+    sm = ServingModel.load(art)
+    full = sm.predict_logits(batch)
+    short = {k: v[:5] for k, v in batch.items()}
+    got = sm.predict_logits(short)
+    assert got.shape[0] == 5
+    np.testing.assert_allclose(got, full[:5], rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError):
+        sm.predict_logits({k: np.concatenate([v, v]) for k, v in batch.items()})
+
+
+def test_symbolic_batch_export(tmp_path):
+    """batch_size=None exports a shape-polymorphic graph: any batch size
+    runs (one XLA compile per concrete shape)."""
+    cfg, model, params, batch = _tiny("float32")
+    art = str(tmp_path / "art_sym")
+    export_model(model, params, art, batch_size=None, platforms=("cpu",),
+                 bf16_weights=False)
+    sm = ServingModel.load(art)
+    assert sm.batch_size is None
+    want = _direct_logits(model, params, batch)
+    for n in (3, 8):
+        got = sm.predict_logits({k: v[:n] for k, v in batch.items()})
+        np.testing.assert_allclose(got, want[:n], rtol=1e-5, atol=1e-5)
+
+
+def test_serving_without_model_code(tmp_path):
+    """The artifact loads and predicts in a process that never imports the
+    model code - flax and xggm_tpu.models must stay out of sys.modules."""
+    cfg, model, params, batch = _tiny("float32")
+    art = str(tmp_path / "art")
+    export_model(model, params, art, batch_size=8, platforms=("cpu",),
+                 bf16_weights=False)
+    np.savez(tmp_path / "inputs.npz", **batch)
+    np.save(tmp_path / "want.npy", _direct_logits(model, params, batch))
+    script = tmp_path / "serve_only.py"
+    script.write_text(f"""
+import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from xggm_tpu.serving import ServingModel
+
+sm = ServingModel.load({str(art)!r})
+batch = dict(np.load({str(tmp_path / 'inputs.npz')!r}))
+got = sm.predict_logits(batch)
+want = np.load({str(tmp_path / 'want.npy')!r})
+np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+banned = [m for m in sys.modules
+          if m.startswith('flax') or m.startswith('xggm_tpu.models')
+          or m.startswith('xggm_tpu.training')]
+assert not banned, f'model/training code leaked into serving: {{banned}}'
+print('MODEL_FREE_OK')
+""")
+    proc = subprocess.run([sys.executable, str(script)], cwd=REPO,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MODEL_FREE_OK" in proc.stdout
+
+
+def test_http_server_end_to_end(tmp_path):
+    """xggm-export then xggm-serve on a synthetic GQA corpus: healthz,
+    /predict answers, chunking past the exported batch, error paths."""
+    data_root = str(tmp_path / "data")
+    art = str(tmp_path / "art")
+    env = {**os.environ, "JAX_COMPILATION_CACHE_DIR":
+           os.path.join(REPO, "tests", ".jax_cache")}
+    proc = subprocess.run(
+        [sys.executable, "-m", "xggm_tpu.cli.export",
+         "--synthetic", "--device", "cpu", "--task", "gqa",
+         "--data_root", data_root, "--valid", "val",
+         "--output", str(tmp_path / "snap"),
+         "--llayers", "1", "--xlayers", "1", "--rlayers", "1",
+         "--artifact", art, "--serve_bs", "4", "--platforms", "cpu"],
+        cwd=REPO, capture_output=True, text=True, timeout=1500, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "exported artifact" in proc.stdout
+
+    port = 18471
+    server = subprocess.Popen(
+        [sys.executable, "-m", "xggm_tpu.cli.serve",
+         "--artifact", art, "--task", "gqa", "--data_root", data_root,
+         "--split", "val", "--device", "cpu", "--port", str(port)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        health = None
+        for _ in range(120):
+            if server.poll() is not None:
+                raise AssertionError(
+                    f"server died: {server.stderr.read().decode()[-2000:]}")
+            try:
+                health = json.load(urllib.request.urlopen(
+                    base + "/healthz", timeout=5))
+                break
+            except OSError:
+                time.sleep(1)
+        assert health and health["status"] == "ok" and \
+            health["batch_size"] == 4
+
+        # 6 queries > serve_bs 4: exercises server-side chunking + padding
+        queries = [{"img_id": f"synth_val_{i % 3}",
+                    "sent": f"what color is the object {i} ?"}
+                   for i in range(6)]
+        req = urllib.request.Request(
+            base + "/predict",
+            data=json.dumps({"queries": queries}).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = json.load(urllib.request.urlopen(req, timeout=600))
+        from xggm_tpu.data.synthetic import ANSWERS
+        assert len(resp["answers"]) == 6
+        assert all(a in ANSWERS for a in resp["answers"])
+        assert resp["latency_ms"] > 0
+
+        # malformed request -> 400 JSON error, server keeps serving
+        bad = urllib.request.Request(base + "/predict", data=b"{}",
+                                     headers={"Content-Type":
+                                              "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "error" in json.load(e)
+        health = json.load(urllib.request.urlopen(base + "/healthz",
+                                                  timeout=30))
+        assert health["status"] == "ok"
+    finally:
+        server.terminate()
+        server.wait(timeout=30)

@@ -75,16 +75,19 @@ class XGGMTrainer:
                                           MAX_SEQ_LENGTH, store=store)
 
         self.train_set = None
+        num_answers = None
         if cfg.data.train:
             raw, self.train_set = make_set(cfg.data.train)
             self.train_evaluator = self.ev_cls(raw)
             num_answers = raw.num_answers
-        else:
-            num_answers = cfg.num_answers
         self.valid_set = None
         if cfg.data.valid:
             raw, self.valid_set = make_set(cfg.data.valid)
             self.valid_evaluator = self.ev_cls(raw)
+            if num_answers is None:  # vocab from any split present
+                num_answers = raw.num_answers
+        if num_answers is None:
+            num_answers = cfg.num_answers
 
         self.label2ans = raw.label2ans
         self.num_answers = num_answers
