@@ -146,3 +146,27 @@ def test_checkpoint_roundtrip(env):
     trainer2.load("CKPT_TEST")
     p1 = trainer2.predict(trainer2.valid_set)
     assert p0 == p1
+
+
+def test_checkpoint_async_saves(env):
+    """Saves commit in the background (mid-epoch BEST saves overlap the next
+    train steps); back-to-back saves serialize, load barriers on the
+    in-flight commit, and the snapshot is taken at call time - mutating the
+    live state after save() must not leak into the checkpoint."""
+    import jax
+
+    trainer = XGGMTrainer(env, task="gqa")
+    ck = trainer.ckpt
+    state0 = {"params": trainer.state.params, "x": np.arange(4.0)}
+    ck.save("ASYNC_A", state0)            # returns before the disk commit
+    ck.save("ASYNC_B", {"x": np.full(4, 7.0)})  # barriers on A, starts B
+    # mutate the host array AFTER save returned: commit must hold the snapshot
+    state0["x"][:] = -1.0
+    restored = ck.load("ASYNC_A", like={"params": trainer.state.params,
+                                        "x": np.zeros(4)})
+    np.testing.assert_array_equal(restored["x"], np.arange(4.0))
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.device_get(trainer.state.params), restored["params"])
+    np.testing.assert_array_equal(
+        ck.load("ASYNC_B", like={"x": np.zeros(4)})["x"], np.full(4, 7.0))
+    ck.wait()  # idempotent with nothing in flight

@@ -5,6 +5,14 @@ src/gqa/gqa_ood.py:421-431 - weights only, no optimizer state, no mid-run
 resume): here we checkpoint {params, opt_state, step, rng} atomically, keep
 BEST / per-epoch policies (mirroring the reference's "BEST"/"BEST_{epoch}"
 naming), and support exact mid-run resume.
+
+Saves are ASYNCHRONOUS by default: `save` snapshots the state to host
+(synchronous - the donated train-state buffers may be reused the moment it
+returns) and commits to disk in the background, so mid-epoch BEST saves
+overlap the next training steps. A barrier (`wait`) runs before any load,
+before re-saving, and must be called once at end of training (the trainers
+do); orbax writes atomically via a temp dir, so a crash mid-commit never
+leaves a readable-but-corrupt checkpoint.
 """
 from __future__ import annotations
 
@@ -25,24 +33,46 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.output_dir, name)
 
-    def save(self, name: str, state: Dict[str, Any]) -> None:
-        """Save a pytree state dict under `name` (e.g. 'BEST', 'BEST_2')."""
+    def save(self, name: str, state: Dict[str, Any],
+             block: bool = False) -> None:
+        """Save a pytree state dict under `name` (e.g. 'BEST', 'BEST_2').
+
+        Returns once the state is snapshotted to host; the disk commit runs
+        in the background (block=True for the old synchronous behavior).
+        """
+        self.wait()  # one in-flight commit at a time
         path = self._path(name)
-        self._ckptr.save(path, jax.device_get(state), force=True)
+        # device leaves: device_get copies to fresh host buffers; numpy
+        # leaves pass through device_get ALIASED - copy them so callers
+        # mutating after save() can't corrupt the background commit
+        import numpy as np
+
+        snapshot = jax.tree.map(
+            lambda x: x.copy() if isinstance(x, np.ndarray)
+            else jax.device_get(x), state)
+        self._ckptr.save(path, snapshot, force=True)
+        if block:
+            self.wait()
+
+    def wait(self) -> None:
+        """Barrier for any in-flight background commit."""
         self._ckptr.wait_until_finished()
 
     def load(self, name: str, like: Optional[Dict[str, Any]] = None
              ) -> Dict[str, Any]:
+        self.wait()
         path = self._path(name)
         if like is not None:
             return self._ckptr.restore(path, target=jax.device_get(like))
         return self._ckptr.restore(path)
 
     def exists(self, name: str) -> bool:
+        self.wait()
         return os.path.isdir(self._path(name))
 
     def latest_epoch(self) -> Optional[int]:
         """Find the newest BEST_{epoch} checkpoint for resume."""
+        self.wait()
         best = -1
         for d in os.listdir(self.output_dir):
             if d.startswith("BEST_"):

@@ -165,6 +165,7 @@ class LxmertPretrainer:
                     best_eval_loss = eval_loss
                     self.save("BEST_EVAL_LOSS")
             self.save(f"Epoch{epoch + 1:02d}")
+        self.ckpt.wait()  # barrier for async background commits
         return best_eval_loss
 
     def evaluate_epoch(self) -> float:

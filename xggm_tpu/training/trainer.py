@@ -330,6 +330,7 @@ class XGGMTrainer:
                 f.write(log_line + "\n")
         if trace_open:  # run shorter than profile_steps: close the trace
             jax.profiler.stop_trace()
+        self.ckpt.wait()  # barrier for async background commits
         # steps donate their input buffers; refresh the params alias
         self.params = self.state.params
         return best_valid
@@ -366,6 +367,7 @@ class XGGMTrainer:
             print(log_line)
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_line + "\n")
+        self.ckpt.wait()  # barrier for async background commits
         self.params = self.state.params
         return best_valid
 
