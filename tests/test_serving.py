@@ -217,3 +217,72 @@ def test_http_server_end_to_end(tmp_path):
     finally:
         server.terminate()
         server.wait(timeout=30)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized export (serving/quant.py) - TPU-side extra capability, the
+# reference has no quantized deployment path.
+
+def test_quantize_kernel_roundtrip():
+    from xggm_tpu.serving.quant import quantize_kernel
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 48).astype(np.float32)
+    w_q, scale = quantize_kernel(w)
+    assert w_q.dtype == np.int8 and scale.shape == (48,)
+    # symmetric per-channel: dequant error bounded by half a quant step
+    np.testing.assert_allclose(w_q.astype(np.float32) * scale, w,
+                               atol=float(scale.max()) / 2 + 1e-7)
+    # a zero column must not produce NaN scales
+    w[:, 0] = 0
+    w_q0, scale0 = quantize_kernel(w)
+    assert np.isfinite(scale0).all() and (w_q0[:, 0] == 0).all()
+
+
+def test_int8_dense_interceptor_numerics():
+    """A quantized Dense through the intercept hook matches x @ W + b to
+    int8 precision (per-channel weights + dynamic per-row activations)."""
+    import flax.linen as nn
+
+    from xggm_tpu.serving.quant import (intercepted_apply,
+                                        quantize_dense_params)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(16, 64).astype(np.float32)
+    dense = nn.Dense(80)
+    params = dense.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(dense.apply(params, x))
+    q_params, n_q = quantize_dense_params(jax.device_get(params),
+                                          exclude=())
+    assert n_q == 1
+    got = np.asarray(intercepted_apply(dense, q_params, x))
+    # int8 x int8 keeps ~2 decimal digits; check relative Frobenius error
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel
+
+
+def test_export_int8(tmp_path):
+    cfg, model, params, batch = _tiny("float32")
+    art = str(tmp_path / "art_int8")
+    export_model(model, params, art, batch_size=8, platforms=("cpu",),
+                 bf16_weights=False, quantize="int8",
+                 label2ans=[f"a{i}" for i in range(cfg.num_answers)])
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["quantize"] == "int8"
+    dt = meta["param_dtypes"]
+    int8_kernels = [k for k in dt if k.endswith("/kernel") and dt[k] == "int8"]
+    scales = [k for k in dt if k.endswith("kernel_scale_int8")]
+    assert len(int8_kernels) == len(scales) > 10
+    # the logits layer is excluded by default (standard PTQ practice)
+    fc2 = [k for k in dt if "fc2" in k and k.endswith("/kernel")]
+    assert fc2 and all(dt[k] == "float32" for k in fc2)
+
+    sm = ServingModel.load(art)
+    got = sm.predict_logits(batch)
+    want = _direct_logits(model, params, batch)
+    # int8-PTQ envelope: small relative error on the logit vectors and
+    # agreement of the predicted answers
+    rel = (np.linalg.norm(got - want, axis=-1)
+           / np.linalg.norm(want, axis=-1))
+    assert rel.max() < 0.05, rel
+    assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() >= 0.9

@@ -29,6 +29,10 @@ def main(argv=None):
                         const=True,
                         help="export fp32 masters instead of the bf16 "
                              "shadow layout trainer.predict reads")
+    parser.add_argument("--quantize", default=None, choices=["int8"],
+                        help="post-training quantization of Dense kernels "
+                             "(per-channel int8 weights + dynamic int8 "
+                             "activations; v5e MXU int8 GEMMs run 2x bf16)")
     args = parser.parse_args(argv)
     seed_everything(args.seed)
     configure_prng(args)
@@ -69,6 +73,7 @@ def main(argv=None):
         label2ans=trainer.label2ans,
         platforms=tuple(p.strip() for p in args.platforms.split(",")),
         bf16_weights=not args.fp32_weights,
+        quantize=args.quantize,
         notes={"task": args.task, "load": args.load,
                "load_lxmert": args.load_lxmert,
                "load_lxmert_qa": args.load_lxmert_qa})
