@@ -5,6 +5,9 @@
                run_lxmert_pretraining bs 256, src/pretrain/lxmert_pretrain.py)
   inference  : the test-arm forward (encoder + answer head only, GGM absent
                at inference - reference gqa_ood.py:379-396, bs 512)
+  inference_int8 : the same forward through the serving int8 PTQ path
+               (serving/quant.py: per-channel int8 Dense kernels + dynamic
+               per-row int8 activations; v5e MXU int8 runs 2x bf16)
 
 Device-resident batches; every timing ends with a host readback (the axon
 relay's only reliable barrier). Prints one JSON dict.
@@ -97,7 +100,7 @@ def main():
         results["pretrain_sents_per_sec"] = round(bs / dt, 2)
         results["pretrain_bs"] = bs
 
-    if "inference" in variants:
+    if "inference" in variants or "inference_int8" in variants:
         from xggm_tpu.models.task_model import XGGMModel
         from __graft_entry__ import _make_batch
 
@@ -129,25 +132,57 @@ def main():
                 method=XGGMModel.clean_forward)
             return jnp.argmax(logits, axis=-1)
 
-        # production predict path (trainer.predict): eval from the bf16
-        # shadow overlaid on the masters - same operand values the model
-        # casts to at use, half the weight-read bytes
-        from xggm_tpu.training.steps import (
-            TrainState, _apply_params, bf16_param_shadow)
-        if args.bf16_params:
-            params = _apply_params(TrainState(
-                params, None, bf16_param_shadow(params)))
+        masters = params
 
-        preds = infer(params, batch)
-        int(np.asarray(preds)[0])  # compile + sync
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
+        if "inference" in variants:
+            # production predict path (trainer.predict): eval from the bf16
+            # shadow overlaid on the masters - same operand values the model
+            # casts to at use, half the weight-read bytes
+            from xggm_tpu.training.steps import (
+                TrainState, _apply_params, bf16_param_shadow)
+            if args.bf16_params:
+                params = _apply_params(TrainState(
+                    params, None, bf16_param_shadow(params)))
+
             preds = infer(params, batch)
-        int(np.asarray(preds)[0])
-        dt = (time.perf_counter() - t0) / args.iters
-        results["inference_step_ms"] = round(dt * 1e3, 2)
-        results["inference_pairs_per_sec"] = round(bs / dt, 2)
-        results["inference_bs"] = bs
+            int(np.asarray(preds)[0])  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                preds = infer(params, batch)
+            int(np.asarray(preds)[0])
+            dt = (time.perf_counter() - t0) / args.iters
+            results["inference_step_ms"] = round(dt * 1e3, 2)
+            results["inference_pairs_per_sec"] = round(bs / dt, 2)
+            results["inference_bs"] = bs
+
+        if "inference_int8" in variants:
+            # serving int8 PTQ path (xggm-export --quantize int8): same
+            # graph the exported artifact runs
+            from xggm_tpu.serving.quant import (intercepted_apply,
+                                                quantize_dense_params)
+
+            q_params, n_q = quantize_dense_params(jax.device_get(masters))
+            q_params = jax.device_put(q_params)
+
+            @jax.jit
+            def infer_q(qp, b):
+                logits = intercepted_apply(
+                    model, qp, b["input_ids"], b["input_mask"],
+                    b["segment_ids"], b["feats"], b["boxes"],
+                    deterministic=True, method=XGGMModel.clean_forward)
+                return jnp.argmax(logits, axis=-1)
+
+            preds_q = infer_q(q_params, batch)
+            int(np.asarray(preds_q)[0])  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                preds_q = infer_q(q_params, batch)
+            int(np.asarray(preds_q)[0])
+            dt = (time.perf_counter() - t0) / args.iters
+            results["inference_int8_step_ms"] = round(dt * 1e3, 2)
+            results["inference_int8_pairs_per_sec"] = round(bs / dt, 2)
+            results["inference_int8_quantized_kernels"] = n_q
+            results["inference_int8_bs"] = bs
 
     print(json.dumps(results, indent=2))
 
