@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--model_parallel", default=1, type=int)
+    # multi-host SPMD (parallel/distributed.py): every host launches the
+    # same command with its own --host_id; TPU pods autodetect all three
+    p.add_argument("--coordinator", default=None, type=str,
+                   help="host:port of process 0 (multi-host runs)")
+    p.add_argument("--num_hosts", default=None, type=int)
+    p.add_argument("--host_id", default=None, type=int)
     p.add_argument("--data_root", default="data", type=str)
     p.add_argument("--vocab", default=None, type=str,
                    help="WordPiece vocab.txt (default {data_root}/vocab.txt)")
@@ -180,6 +186,18 @@ def configure_prng(args) -> None:
 
 
 def make_mesh_if_requested(args):
+    multi_host = getattr(args, "coordinator", None) is not None or \
+        getattr(args, "num_hosts", None) is not None
+    if multi_host:
+        from xggm_tpu.parallel.distributed import (
+            init_distributed, make_hybrid_mesh)
+        if args.coordinator == "auto":  # TPU pod / SLURM autodetection
+            init_distributed(auto=True)
+        else:
+            init_distributed(coordinator_address=args.coordinator,
+                             num_processes=args.num_hosts,
+                             process_id=args.host_id)
+        return make_hybrid_mesh(model_parallel=args.model_parallel)
     if not args.multiGPU:
         return None
     from xggm_tpu.parallel.mesh import make_mesh

@@ -23,7 +23,8 @@ class Feeder:
     def __init__(self, dataset: GraphBatchDataset, batch_size: int,
                  shuffle: bool = False, drop_last: bool = False,
                  seed: int = 9595, mesh=None, prefetch_depth: int = 2,
-                 feats_dtype=None):
+                 feats_dtype=None, process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,6 +37,13 @@ class Feeder:
         # the first projection anyway, so shipping fp32 bytes over the
         # host->device link is pure waste (2x the transfer volume).
         self.feats_dtype = feats_dtype
+        # Multi-host SPMD (parallel/distributed.py): batch_size stays the
+        # GLOBAL batch; every process iterates the same index sequence
+        # (same dataset + seed) but assembles only its contiguous slice.
+        if process_count > 1 and mesh is None:
+            raise ValueError("multi-process feeding requires a mesh")
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -71,6 +79,27 @@ class Feeder:
             try:
                 for idx in self._index_batches():
                     qids = self.dataset.question_ids(idx)
+                    if self.process_count > 1:
+                        # pad the INDEX list (repeating the last row; the
+                        # mask invalidates it), slice this process's chunk,
+                        # assemble only those rows, and join them into
+                        # global P('data') arrays
+                        from xggm_tpu.parallel.distributed import (
+                            local_batch_to_global, process_slice)
+                        mask = np.zeros((self.batch_size,), np.bool_)
+                        mask[: len(idx)] = True
+                        idx_pad = np.concatenate(
+                            [idx, np.repeat(idx[-1:],
+                                            self.batch_size - len(idx))])
+                        local = process_slice(idx_pad, self.process_index,
+                                              self.process_count)
+                        batch = self.dataset.get_batch(local)
+                        if self.feats_dtype is not None:
+                            batch["feats"] = batch["feats"].astype(
+                                self.feats_dtype)
+                        q.put((qids, local_batch_to_global(
+                            self.mesh, batch, self.batch_size), mask))
+                        continue
                     batch = self.dataset.get_batch(idx)
                     if self.feats_dtype is not None:
                         batch["feats"] = batch["feats"].astype(

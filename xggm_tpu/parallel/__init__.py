@@ -1,3 +1,7 @@
 from xggm_tpu.parallel.mesh import (
     make_mesh, shard_batch, replicate, batch_sharding, host_to_device,
 )
+from xggm_tpu.parallel.distributed import (
+    init_distributed, make_hybrid_mesh, local_batch_to_global,
+    process_slice, to_host,
+)

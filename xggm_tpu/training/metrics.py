@@ -22,7 +22,13 @@ class MetricsLogger:
     }
 
     def __init__(self, output_dir: str, use_tb: bool = True):
+        # output_dir=None mutes the logger (non-primary processes in a
+        # multi-host run: one metrics stream, not num_hosts copies)
         self.output_dir = output_dir
+        if output_dir is None:
+            self.jsonl = open(os.devnull, "w")
+            self.tb = None
+            return
         os.makedirs(output_dir, exist_ok=True)
         self.jsonl = open(os.path.join(output_dir, "metrics.jsonl"), "a")
         self.tb = None
@@ -58,5 +64,7 @@ class MetricsLogger:
             self.tb.add_scalar(name, value, step)
 
     def dump_config(self, cfg_dict: Dict, name: str = "args.json") -> None:
+        if self.output_dir is None:
+            return
         with open(os.path.join(self.output_dir, name), "w") as f:
             json.dump(cfg_dict, f, indent=2, default=str)

@@ -30,6 +30,7 @@ from xggm_tpu.data.datasets import (
     oracle_score,
 )
 from xggm_tpu.data.feeder import Feeder
+from xggm_tpu.parallel.distributed import to_host
 from xggm_tpu.utils.guard import check_step_finite
 from xggm_tpu.data.tokenizer import BertTokenizer
 from xggm_tpu.models.task_model import XGGMModel
@@ -137,7 +138,14 @@ class XGGMTrainer:
 
         from xggm_tpu.checkpoint.manager import CheckpointManager
         self.ckpt = CheckpointManager(self.output)
-        self.logger = MetricsLogger(self.output)
+        # Multi-host (parallel/distributed.py): every process runs this
+        # trainer on the same global batch stream; file-writing side
+        # effects (metrics JSONL, log.log) happen once, on process 0.
+        # Checkpoint saves are NOT gated - orbax saves are collective
+        # (every process contributes its addressable shards).
+        self.primary = jax.process_index() == 0
+        self.logger = MetricsLogger(self.output) if self.primary \
+            else MetricsLogger(None)
         self.host_rng = random.Random(cfg.train.seed)
         self.key = jax.random.PRNGKey(cfg.train.seed)
 
@@ -273,7 +281,9 @@ class XGGMTrainer:
         feeder = Feeder(self.train_set, cfg.train.batch_size, shuffle=True,
                         drop_last=True, seed=cfg.train.seed, mesh=self.mesh,
                         prefetch_depth=cfg.data.prefetch_depth,
-                        feats_dtype=self._feats_dtype)
+                        feats_dtype=self._feats_dtype,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
         n_batches = len(feeder)
         # mid-epoch validation points (reference gqa_ood.py:157)
         val_points = set(np.linspace(0, n_batches, 5, dtype=int)[1:-1].tolist())
@@ -293,7 +303,7 @@ class XGGMTrainer:
                 step = self.rel_step if use_relation else self.rep_step
                 self.state, metrics = step(self.state, batch, self._next_key())
 
-                preds = np.asarray(metrics["preds"])
+                preds = to_host(metrics["preds"])
                 for qid, p in zip(qids, preds[: len(qids)]):
                     quesid2ans[qid] = self.label2ans[int(p)]
 
@@ -326,8 +336,9 @@ class XGGMTrainer:
                              f", Best {best_valid * 100.:.2f}")
             log_line += f" ({time.time() - t_epoch:.1f}s)"
             print(log_line)
-            with open(os.path.join(self.output, "log.log"), "a") as f:
-                f.write(log_line + "\n")
+            if self.primary:
+                with open(os.path.join(self.output, "log.log"), "a") as f:
+                    f.write(log_line + "\n")
         if trace_open:  # run shorter than profile_steps: close the trace
             jax.profiler.stop_trace()
         self.ckpt.wait()  # barrier for async background commits
@@ -341,14 +352,16 @@ class XGGMTrainer:
         cfg = self.cfg
         feeder = Feeder(self.train_set, cfg.train.batch_size, shuffle=True,
                         drop_last=True, seed=cfg.train.seed, mesh=self.mesh,
-                        feats_dtype=self._feats_dtype)
+                        feats_dtype=self._feats_dtype,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
         best_valid, train_iter = 0.0, 0
         for epoch in range(cfg.train.epochs):
             quesid2ans: Dict[object, str] = {}
             for qids, batch, _mask in feeder:
                 self.state, metrics = self.clean_step(self.state, batch,
                                                       self._next_key())
-                preds = np.asarray(metrics["preds"])
+                preds = to_host(metrics["preds"])
                 for qid, p in zip(qids, preds[: len(qids)]):
                     quesid2ans[qid] = self.label2ans[int(p)]
                 check_step_finite(train_iter, "clean", metrics)
@@ -365,8 +378,9 @@ class XGGMTrainer:
                 log_line += (f", Valid {acc * 100.:.2f}"
                              f", Best {best_valid * 100.:.2f}")
             print(log_line)
-            with open(os.path.join(self.output, "log.log"), "a") as f:
-                f.write(log_line + "\n")
+            if self.primary:
+                with open(os.path.join(self.output, "log.log"), "a") as f:
+                    f.write(log_line + "\n")
         self.ckpt.wait()  # barrier for async background commits
         self.params = self.state.params
         return best_valid
@@ -377,14 +391,16 @@ class XGGMTrainer:
         only; padded batches masked out."""
         feeder = Feeder(dataset, max(self.cfg.train.batch_size, 64),
                         shuffle=False, drop_last=False, mesh=self.mesh,
-                        feats_dtype=self._feats_dtype)
+                        feats_dtype=self._feats_dtype,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
         quesid2ans: Dict[object, str] = {}
         # eval from the bf16 shadow when carried (same bf16 operand values
         # the model would cast to anyway; half the weight-read bytes)
         from xggm_tpu.training.steps import _apply_params
         eval_params = _apply_params(self.state)
         for qids, batch, mask in feeder:
-            preds = np.asarray(self.eval_step(eval_params, batch))
+            preds = to_host(self.eval_step(eval_params, batch))
             # the feeder pads trailing rows; preds[:len(qids)] relies on that
             assert bool(np.all(mask[: len(qids)])) and not np.any(
                 mask[len(qids):]), "feeder mask must be trailing padding"
