@@ -61,6 +61,22 @@ def test_to_host_addressable():
     np.testing.assert_array_equal(to_host(x), np.arange(8, dtype=np.float32))
 
 
+def test_host_scalar():
+    import jax.numpy as jnp
+
+    from xggm_tpu.parallel.distributed import host_scalar
+    assert host_scalar(jnp.float32(3.5)) == 3.5
+    assert host_scalar(2.0) == 2.0
+    assert host_scalar(np.float32(1.5)) == 1.5
+    with pytest.raises((TypeError, ValueError)):
+        host_scalar(jnp.arange(4))  # non-scalar
+    # replicated jax array (single-process mesh: fully addressable path)
+    mesh = make_mesh()
+    from xggm_tpu.parallel.mesh import replicate
+    r = jax.device_put(np.float32(7.25), replicate(mesh))
+    assert host_scalar(r) == 7.25
+
+
 def test_feeder_requires_mesh_for_multiprocess():
     from xggm_tpu.data.feeder import Feeder
     with pytest.raises(ValueError, match="requires a mesh"):
@@ -73,6 +89,64 @@ def test_muted_metrics_logger(tmp_path):
     muted.log_step(0, {"clean_loss": 1.0})
     muted.log_scalar("x", 1.0, 0)
     muted.dump_config({"a": 1})  # all no-ops, nothing written anywhere
+
+
+def test_two_process_cli_end_to_end(tmp_path):
+    """The real GQA-OOD CLI as two cooperating host processes (4 virtual
+    CPU devices each) over a localhost coordinator: corpus feeding by
+    process slice, collective two-phase train steps over the hybrid mesh,
+    eval-pred allgather, process-0-gated metrics/log/args files, collective
+    BEST checkpointing. The multi-host equivalent of
+    tests/test_cli.py::test_multigpu_cli_end_to_end."""
+    from xggm_tpu.data.synthetic import make_synthetic_gqa, write_vocab
+    data_root = str(tmp_path / "data")
+    os.makedirs(data_root, exist_ok=True)
+    # pre-generate once: two workers racing --synthetic writes would corrupt
+    for i, split in enumerate(sorted({"train", "val"})):
+        make_synthetic_gqa(data_root, split, seed=i)
+    write_vocab(os.path.join(data_root, "vocab.txt"))
+
+    output = str(tmp_path / "snap_dist")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(HERE)
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+           "JAX_COMPILATION_CACHE_DIR":
+               os.path.join(repo, "tests", ".jax_cache")}
+    argv = ["--device", "cpu", "--data_root", data_root, "--output", output,
+            "--llayers", "1", "--xlayers", "1", "--rlayers", "1",
+            "--gnn", "GCN", "--num_layer", "1",
+            "--train", "train", "--valid", "val",
+            "--bs", "16", "--optim", "bert", "--lr", "5e-5", "--epochs", "1",
+            "--coordinator", f"127.0.0.1:{port}", "--num_hosts", "2"]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "xggm_tpu.cli.gqa_ood"]
+        + argv + ["--host_id", str(i)],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    best = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {i} failed:\n{out[-4000:]}"
+        line = [ln for ln in out.splitlines() if "Best valid:" in ln]
+        assert line, out[-2000:]
+        best.append(line[-1])
+    # both hosts see the same allgathered eval -> identical best accuracy
+    assert best[0] == best[1], best
+    # file side effects written once, by process 0
+    assert os.path.exists(os.path.join(output, "args.json"))
+    assert os.path.exists(os.path.join(output, "metrics.jsonl"))
+    assert any(f.startswith("BEST") for f in os.listdir(output))
 
 
 def test_two_process_cpu():

@@ -209,6 +209,10 @@ def dump_args(args: argparse.Namespace, output: str) -> None:
     """Run-config dump (reference gqa_ood.py:470 writes args.json)."""
     import json
 
+    import jax
+
+    if jax.process_index() != 0:  # one writer under multi-host
+        return
     os.makedirs(output, exist_ok=True)
     with open(os.path.join(output, "args.json"), "w") as f:
         json.dump(vars(args), f, indent=2, default=str)

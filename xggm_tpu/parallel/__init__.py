@@ -3,5 +3,5 @@ from xggm_tpu.parallel.mesh import (
 )
 from xggm_tpu.parallel.distributed import (
     init_distributed, make_hybrid_mesh, local_batch_to_global,
-    process_slice, to_host,
+    process_slice, to_host, host_scalar,
 )

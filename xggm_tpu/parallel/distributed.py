@@ -142,5 +142,23 @@ def to_host(x) -> np.ndarray:
     DataParallel's in-process output gather, entry.py:103-104)."""
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
+    if x.sharding.is_fully_replicated:
+        # every process holds a full replica - read it locally, no network
+        return np.asarray(x.addressable_shards[0].data)
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def host_scalar(x) -> float:
+    """Host float of a scalar step metric (loss values etc.).
+
+    Under multi-host, jit outputs with no out-sharding are replicated but
+    still span non-addressable devices, so plain float()/np.asarray raises;
+    the local shard IS the global value. Raises TypeError for sharded
+    non-replicated arrays (eval preds and the like are not scalar metrics).
+    """
+    if not getattr(x, "is_fully_addressable", True):
+        if not x.sharding.is_fully_replicated:
+            raise TypeError("sharded array is not a scalar metric")
+        x = x.addressable_shards[0].data
+    return float(np.asarray(x).reshape(()))

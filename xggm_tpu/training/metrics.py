@@ -41,12 +41,14 @@ class MetricsLogger:
                 self.tb = None
 
     def log_step(self, step: int, metrics: Dict, branch: str = "") -> None:
+        from xggm_tpu.parallel.distributed import host_scalar
+
         rec = {"step": step, "branch": branch, "ts": time.time()}
         for k, v in metrics.items():
             if k == "preds":
                 continue
             try:
-                rec[k] = float(v)
+                rec[k] = host_scalar(v)
             except (TypeError, ValueError):
                 continue
         self.jsonl.write(json.dumps(rec) + "\n")

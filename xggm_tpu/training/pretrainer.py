@@ -14,6 +14,7 @@ import numpy as np
 from xggm_tpu.config import XGGMConfig
 from xggm_tpu.data.pretrain_data import PretrainFeaturizer
 from xggm_tpu.models.pretrain_model import PretrainModel, LOSSES_NAME
+from xggm_tpu.parallel.distributed import host_scalar, to_host
 from xggm_tpu.utils.guard import check_step_finite
 from xggm_tpu.training.bert_adam import bert_adam
 from xggm_tpu.training.steps import (
@@ -59,7 +60,21 @@ class LxmertPretrainer:
 
             psh = param_shardings(self.params, mesh)
             self.params = jax.tree.map(jax.device_put, self.params, psh)
-        if mesh is not None:
+        self.primary = jax.process_index() == 0
+        if mesh is not None and jax.process_count() > 1:
+            # multi-host: every process featurizes the same global batch
+            # (identical rng stream) but ships only its contiguous slice
+            from xggm_tpu.parallel.distributed import (
+                local_batch_to_global, process_slice)
+            pidx, pcount = jax.process_index(), jax.process_count()
+
+            def _put(b):
+                n = jax.tree.leaves(b)[0].shape[0]
+                rows = process_slice(np.arange(n), pidx, pcount)
+                return local_batch_to_global(
+                    mesh, jax.tree.map(lambda x: x[rows], b), n)
+            self._put = _put
+        elif mesh is not None:
             from xggm_tpu.parallel.mesh import shard_batch
             self._put = lambda b: shard_batch(mesh, b)
         else:
@@ -145,19 +160,20 @@ class LxmertPretrainer:
                 self.state, loss, losses, preds = self.train_step(
                     self.state, batch, self._next_key())
                 check_step_finite(n, "pretrain", {"loss": loss, **losses})
-                total_loss += float(loss)
+                total_loss += host_scalar(loss)
                 for k, v in losses.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    sums[k] = sums.get(k, 0.0) + host_scalar(v)
                 if self.task_qa:
-                    for uid, p in zip(uids, np.asarray(preds)):
+                    for uid, p in zip(uids, to_host(preds)):
                         uid2ans[uid] = self.answer_table.id2ans(int(p))
                 n += 1
             line = f"Epoch {epoch}: train loss {total_loss / max(n,1):.4f} " \
                 + " ".join(f"{k}: {sums.get(k, 0.) / max(n,1):.4f}"
                            for k in LOSSES_NAME if k in sums)
             print(line)
-            with open(os.path.join(self.output, "log.log"), "a") as f:
-                f.write(line + "\n")
+            if self.primary:
+                with open(os.path.join(self.output, "log.log"), "a") as f:
+                    f.write(line + "\n")
 
             if self.valid_feat is not None:
                 eval_loss = self.evaluate_epoch()
@@ -175,7 +191,7 @@ class LxmertPretrainer:
                                           np.random.RandomState(0)):
             loss, _, _ = self.valid_step(_apply_params(self.state),
                                          self._put(batch))
-            total += float(loss)
+            total += host_scalar(loss)
             n += 1
         avg = total / max(n, 1)
         print(f"valid loss {avg:.4f}")

@@ -24,10 +24,12 @@ def check_step_finite(step: int, branch: str, metrics: Dict) -> None:
     host. Call after the step's metrics have been read back (the trainers
     already sync them for prediction logging, so this adds no device sync).
     """
+    from xggm_tpu.parallel.distributed import host_scalar
+
     bad = {}
     for k, v in metrics.items():
         try:
-            f = float(np.asarray(v).reshape(()))
+            f = host_scalar(v)
         except (TypeError, ValueError):
             continue  # non-scalar (preds etc.)
         if not np.isfinite(f):
