@@ -103,7 +103,43 @@ def _e2e_dataset(cfg):
     return _PadTargets(gbd, cfg.num_answers)
 
 
+def _wait_for_tpu(max_wait_s: float = 1800.0) -> None:
+    """Block until the TPU backend answers, or raise.
+
+    The axon relay can go down entirely; a bare jax.devices() then hangs
+    ~25-30 min in backend init before erroring (observed round 3). Probe in
+    short-lived subprocesses (backend init is once-per-process, so a failed
+    probe can't poison this process) and retry with backoff so a transient
+    outage doesn't cost the round its bench record.
+    """
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=300)
+            if probe.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            raise RuntimeError(
+                f"TPU backend unreachable after {attempt} probes over "
+                f"{max_wait_s:.0f}s - the relay is down; re-run bench.py "
+                "when it recovers")
+        print(f"# TPU backend not answering (probe {attempt}); retrying",
+              flush=True)
+        time.sleep(min(60.0, max(5.0, deadline - time.time())))
+
+
 def main():
+    _wait_for_tpu()
     import jax
     # rbg PRNG: dropout-mask generation is ~13% of the threefry step time on
     # v5e; rbg is the TPU-native generator (tools/perf_probe.py measurements)

@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--model_parallel", default=1, type=int)
+    # dead reference flag (param.py:113, dest edge_gnn - never read by any
+    # live code path); accepted so reference launch scripts parse unchanged
+    p.add_argument("--eg", dest="edge_gnn", default=None)
     # multi-host SPMD (parallel/distributed.py): every host launches the
     # same command with its own --host_id; TPU pods autodetect all three
     p.add_argument("--coordinator", default=None, type=str,
