@@ -98,7 +98,16 @@ def make_hybrid_mesh(model_parallel: int = 1,
         mesh_shape=(per_granule // model_parallel, model_parallel),
         dcn_mesh_shape=(n_granules, 1),
         devices=devices, process_is_granule=True)
-    return Mesh(grid, ("data", "model"))
+    mesh = Mesh(grid, ("data", "model"))
+    # Establish the cross-host collective context NOW, while every process
+    # sits at the same program point (right after distributed init). The
+    # context bootstrap has a hard 30 s rendezvous inside XLA's CPU gloo
+    # backend, and without this the first real collective is dispatched
+    # only after each host's first jit compile - which can skew by minutes
+    # (e.g. asymmetric compile-cache hits) and kill the run.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("xggm:hybrid_mesh_init")
+    return mesh
 
 
 def local_batch_to_global(mesh: Mesh, local_batch, global_batch_size: int):

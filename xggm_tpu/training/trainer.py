@@ -406,7 +406,7 @@ class XGGMTrainer:
                 mask[len(qids):]), "feeder mask must be trailing padding"
             for qid, p in zip(qids, preds[: len(qids)]):
                 quesid2ans[qid] = self.label2ans[int(p)]
-        if dump_path:
+        if dump_path and self.primary:  # one writer under multi-host
             self.ev_cls.dump_result(quesid2ans, dump_path)
         return quesid2ans
 
