@@ -230,7 +230,7 @@ def main():
     idx = np.arange(len(gbd))
     t0 = time.perf_counter()
     for i in range(8):
-        gbd.get_batch(idx[(i * 37) % (len(gbd) - bs):][:bs])
+        gbd.get_batch(idx[(i * 37) % max(1, len(gbd) - bs):][:bs])
     asm_pairs_per_sec = bs * 8 / (time.perf_counter() - t0)
 
     n_e2e = 0

@@ -51,6 +51,9 @@ def test_pretrain_cli_end_to_end(tmp_path):
     out = _run_cli("xggm_tpu.cli.pretrain", ["--synthetic"] + common,
                    cwd=REPO)
     assert "Mask_LM" in out and "Best eval loss:" in out
+    # per-epoch QA accuracy from collected predictions (reference
+    # lxmert_pretrain.py:369-370 train, :406-407 valid)
+    assert "train QA accuracy:" in out and "valid QA accuracy:" in out
     assert os.path.exists(os.path.join(output, "Epoch01"))
     assert os.path.exists(os.path.join(output, "BEST_EVAL_LOSS"))
 

@@ -208,6 +208,33 @@ def make_mesh_if_requested(args):
     return make_mesh(model_parallel=args.model_parallel)
 
 
+def generate_synthetic_once(generate, data_root: str) -> None:
+    """Synthetic corpus generation that is multi-host-safe.
+
+    Two hosts racing the same h5/json writes on a shared filesystem would
+    corrupt them, so process 0 generates first (plus a completion sentinel)
+    and everyone barriers; hosts that then don't see the sentinel have
+    private filesystems and generate their own (deterministic, seeded)
+    copy. Call AFTER make_mesh_if_requested (the distributed runtime must
+    be up for process_index/barrier).
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        generate()
+        return
+    sentinel = os.path.join(data_root, ".synthetic_complete")
+    if jax.process_index() == 0:
+        generate()
+        os.makedirs(data_root, exist_ok=True)
+        with open(sentinel, "w") as f:
+            f.write("ok")
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("xggm:synthetic-data")
+    if not os.path.exists(sentinel):
+        generate()
+
+
 def dump_args(args: argparse.Namespace, output: str) -> None:
     """Run-config dump (reference gqa_ood.py:470 writes args.json)."""
     import json

@@ -18,15 +18,19 @@ def main(argv=None):
     from xggm_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    if args.synthetic:
-        from xggm_tpu.data.synthetic import make_synthetic_gqa, write_vocab
-        splits = {args.train, args.valid, args.test} - {None, ""}
-        for i, split in enumerate(sorted(splits)):
-            make_synthetic_gqa(args.data_root, split, seed=i)
-        write_vocab(os.path.join(args.data_root, "vocab.txt"))
-
     cfg = to_config(args, task="gqa")
     mesh = make_mesh_if_requested(args)
+
+    if args.synthetic:
+        from xggm_tpu.cli.common import generate_synthetic_once
+        from xggm_tpu.data.synthetic import make_synthetic_gqa, write_vocab
+
+        def _gen():
+            splits = {args.train, args.valid, args.test} - {None, ""}
+            for i, split in enumerate(sorted(splits)):
+                make_synthetic_gqa(args.data_root, split, seed=i)
+            write_vocab(os.path.join(args.data_root, "vocab.txt"))
+        generate_synthetic_once(_gen, args.data_root)
 
     from xggm_tpu.data.datasets import GQADataset, GraphBatchDataset
     from xggm_tpu.training.trainer import XGGMTrainer

@@ -16,9 +16,13 @@ def main(argv=None):
     from xggm_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    mesh = make_mesh_if_requested(args)
+
     if args.synthetic:
+        from xggm_tpu.cli.common import generate_synthetic_once
         from xggm_tpu.data.synthetic_pretrain import make_synthetic_pretrain
-        make_synthetic_pretrain(args.data_root)
+        generate_synthetic_once(
+            lambda: make_synthetic_pretrain(args.data_root), args.data_root)
 
     cfg = to_config(args, task="gqa")
     from xggm_tpu.data.pretrain_data import (
@@ -64,7 +68,7 @@ def main(argv=None):
         task_mask_lm=args.task_mask_lm, task_matched=args.task_matched,
         task_obj_predict=args.task_obj_predict, task_qa=args.task_qa,
         visual_losses=tuple(args.visual_losses.split(",")),
-        mesh=make_mesh_if_requested(args))
+        mesh=mesh)
     if args.load is not None:
         restored = trainer.ckpt.load(os.path.basename(args.load),
                                      like={"params": trainer.state.params,

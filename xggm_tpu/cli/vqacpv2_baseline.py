@@ -19,19 +19,23 @@ def main(argv=None):
     from xggm_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    if args.synthetic:
-        from xggm_tpu.data.synthetic import make_synthetic_vqacp, write_vocab
-        for i, split in enumerate(sorted({args.train, args.valid, args.test}
-                                         - {None, ""})):
-            make_synthetic_vqacp(args.data_root, split, seed=i)
-        write_vocab(os.path.join(args.data_root, "vocab.txt"))
-
     import dataclasses
     cfg = to_config(args, task="vqa")
     # baseline: single group (downstream mult 1), t_total = 1x steps
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, downstream_lr_mult=1.0, t_total_mult=1.0))
     mesh = make_mesh_if_requested(args)
+
+    if args.synthetic:
+        from xggm_tpu.cli.common import generate_synthetic_once
+        from xggm_tpu.data.synthetic import make_synthetic_vqacp, write_vocab
+
+        def _gen():
+            for i, split in enumerate(sorted({args.train, args.valid,
+                                              args.test} - {None, ""})):
+                make_synthetic_vqacp(args.data_root, split, seed=i)
+            write_vocab(os.path.join(args.data_root, "vocab.txt"))
+        generate_synthetic_once(_gen, args.data_root)
 
     from xggm_tpu.data.datasets import VQACPDataset, GraphBatchDataset
     from xggm_tpu.training.trainer import XGGMTrainer

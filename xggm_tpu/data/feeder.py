@@ -81,34 +81,32 @@ class Feeder:
                     qids = self.dataset.question_ids(idx)
                     if self.process_count > 1:
                         # pad the INDEX list (repeating the last row; the
-                        # mask invalidates it), slice this process's chunk,
-                        # assemble only those rows, and join them into
-                        # global P('data') arrays
+                        # mask invalidates it) and assemble only this
+                        # process's contiguous chunk; placement joins the
+                        # chunks into global P('data') arrays
                         from xggm_tpu.parallel.distributed import (
                             local_batch_to_global, process_slice)
                         mask = np.zeros((self.batch_size,), np.bool_)
                         mask[: len(idx)] = True
-                        idx_pad = np.concatenate(
-                            [idx, np.repeat(idx[-1:],
-                                            self.batch_size - len(idx))])
-                        local = process_slice(idx_pad, self.process_index,
-                                              self.process_count)
-                        batch = self.dataset.get_batch(local)
-                        if self.feats_dtype is not None:
-                            batch["feats"] = batch["feats"].astype(
-                                self.feats_dtype)
-                        q.put((qids, local_batch_to_global(
-                            self.mesh, batch, self.batch_size), mask))
-                        continue
-                    batch = self.dataset.get_batch(idx)
+                        fetch_idx = process_slice(
+                            np.concatenate(
+                                [idx, np.repeat(idx[-1:],
+                                                self.batch_size - len(idx))]),
+                            self.process_index, self.process_count)
+                        place = (lambda b: local_batch_to_global(
+                            self.mesh, b, self.batch_size))
+                    else:
+                        fetch_idx, place = idx, self._place
+                    batch = self.dataset.get_batch(fetch_idx)
                     if self.feats_dtype is not None:
                         batch["feats"] = batch["feats"].astype(
                             self.feats_dtype)
-                    batch, mask = pad_batch_to(batch, self.batch_size)
+                    if self.process_count == 1:
+                        batch, mask = pad_batch_to(batch, self.batch_size)
                     # device placement happens HERE, on the producer thread:
                     # host->device transfer of batch N+1 overlaps the
                     # device compute of batch N (jax dispatch is async)
-                    q.put((qids, self._place(batch), mask))
+                    q.put((qids, place(batch), mask))
             except BaseException as e:  # noqa: BLE001 - surfaced below
                 # a swallowed producer error would silently truncate the
                 # epoch; hand it to the consumer thread instead

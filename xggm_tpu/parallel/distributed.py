@@ -129,20 +129,20 @@ def local_batch_to_global(mesh: Mesh, local_batch, global_batch_size: int):
     return jax.tree.map(place, local_batch)
 
 
-def process_slice(global_indices: np.ndarray, process_index: int,
-                  process_count: int) -> np.ndarray:
-    """The contiguous row-range of a global batch this process feeds.
+def process_slice(rows, process_index: int, process_count: int):
+    """The contiguous leading-dim chunk of a global batch this process
+    feeds (an index list or a data array - basic slicing, zero-copy).
 
     `local_batch_to_global` requires each process to own the rows that
     P('data') places on its devices: with a DCN-outermost data axis those
     are exactly the `pid`-th contiguous chunk of the global batch.
     """
-    n = len(global_indices)
+    n = len(rows)
     if n % process_count != 0:
         raise ValueError(f"global batch {n} not divisible by "
                          f"process_count {process_count}")
     local = n // process_count
-    return global_indices[process_index * local:(process_index + 1) * local]
+    return rows[process_index * local:(process_index + 1) * local]
 
 
 def to_host(x) -> np.ndarray:

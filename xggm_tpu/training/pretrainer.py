@@ -70,9 +70,11 @@ class LxmertPretrainer:
 
             def _put(b):
                 n = jax.tree.leaves(b)[0].shape[0]
-                rows = process_slice(np.arange(n), pidx, pcount)
+                # process_slice is a basic (zero-copy) leading-dim slice
                 return local_batch_to_global(
-                    mesh, jax.tree.map(lambda x: x[rows], b), n)
+                    mesh,
+                    jax.tree.map(lambda x: process_slice(x, pidx, pcount), b),
+                    n)
             self._put = _put
         elif mesh is not None:
             from xggm_tpu.parallel.mesh import shard_batch
@@ -118,6 +120,14 @@ class LxmertPretrainer:
         self.train_step = train_step
         self.valid_step = valid_step
         self.task_qa = task_qa
+        # per-epoch QA accuracy over the collected uid->answer predictions
+        # (reference lxmert_pretrain.py:369-370 train, :406-407 valid)
+        from xggm_tpu.data.pretrain_data import LxmertPretrainEvaluator
+        self.train_evaluator = (LxmertPretrainEvaluator(train_feat.ds)
+                                if task_qa else None)
+        self.valid_evaluator = (
+            LxmertPretrainEvaluator(valid_feat.ds)
+            if task_qa and valid_feat is not None else None)
 
         from xggm_tpu.checkpoint.manager import CheckpointManager
         self.ckpt = CheckpointManager(self.output)
@@ -170,6 +180,11 @@ class LxmertPretrainer:
             line = f"Epoch {epoch}: train loss {total_loss / max(n,1):.4f} " \
                 + " ".join(f"{k}: {sums.get(k, 0.) / max(n,1):.4f}"
                            for k in LOSSES_NAME if k in sums)
+            if self.train_evaluator is not None:
+                accu, dset_acc = self.train_evaluator.evaluate(uid2ans)
+                line += (f"\ntrain QA accuracy: {accu:.4f}"
+                         + "".join(f" {d}: {a:.4f}"
+                                   for d, a in sorted(dset_acc.items())))
             print(line)
             if self.primary:
                 with open(os.path.join(self.output, "log.log"), "a") as f:
@@ -187,14 +202,24 @@ class LxmertPretrainer:
     def evaluate_epoch(self) -> float:
         bs = self.cfg.train.batch_size
         total, n = 0.0, 0
-        for batch, _uids in self._batches(self.valid_feat, bs, False,
-                                          np.random.RandomState(0)):
-            loss, _, _ = self.valid_step(_apply_params(self.state),
-                                         self._put(batch))
+        uid2ans = {}
+        for batch, uids in self._batches(self.valid_feat, bs, False,
+                                         np.random.RandomState(0)):
+            loss, _, preds = self.valid_step(_apply_params(self.state),
+                                             self._put(batch))
             total += host_scalar(loss)
+            if self.valid_evaluator is not None:
+                for uid, p in zip(uids, to_host(preds)):
+                    uid2ans[uid] = self.answer_table.id2ans(int(p))
             n += 1
         avg = total / max(n, 1)
-        print(f"valid loss {avg:.4f}")
+        line = f"valid loss {avg:.4f}"
+        if self.valid_evaluator is not None:
+            accu, dset_acc = self.valid_evaluator.evaluate(uid2ans)
+            line += (f"\nvalid QA accuracy: {accu:.4f}"
+                     + "".join(f" {d}: {a:.4f}"
+                               for d, a in sorted(dset_acc.items())))
+        print(line)
         return avg
 
     def save(self, name: str) -> None:
