@@ -170,3 +170,23 @@ def test_checkpoint_async_saves(env):
     np.testing.assert_array_equal(
         ck.load("ASYNC_B", like={"x": np.zeros(4)})["x"], np.full(4, 7.0))
     ck.wait()  # idempotent with nothing in flight
+
+
+def test_checkpoint_snapshot_survives_donation(env):
+    """device_get on a CPU-backed jax.Array is a zero-copy VIEW of the
+    device buffer; if the manager kept that view, a donated train step
+    reusing the buffer would corrupt an in-flight background commit. The
+    manager must own its snapshot (checkpoint/manager.py _host_copy)."""
+    import jax
+    import jax.numpy as jnp
+
+    trainer = XGGMTrainer(env, task="gqa")
+    big = jnp.arange(65536, dtype=jnp.float32)
+    expect = np.asarray(big).copy()
+    trainer.ckpt.save("DONATED", {"big": big})  # async commit starts
+    overwrite = jax.jit(lambda a: a * 0.0 - 5.0, donate_argnums=0)
+    big = overwrite(big)  # donation reuses the buffer the view aliased
+    float(big.sum())
+    restored = trainer.ckpt.load(
+        "DONATED", like={"big": np.zeros(65536, np.float32)})
+    np.testing.assert_array_equal(restored["big"], expect)

@@ -42,14 +42,18 @@ class CheckpointManager:
         """
         self.wait()  # one in-flight commit at a time
         path = self._path(name)
-        # device leaves: device_get copies to fresh host buffers; numpy
-        # leaves pass through device_get ALIASED - copy them so callers
-        # mutating after save() can't corrupt the background commit
+        # Force OWNED host buffers: numpy leaves pass through device_get
+        # aliased, and device_get on a CPU-backed jax.Array is a zero-copy
+        # VIEW of the device buffer (np.shares_memory confirms) - a later
+        # donated train step may reuse that buffer mid-commit. One host
+        # memcpy per leaf is trivial next to the disk write.
         import numpy as np
 
-        snapshot = jax.tree.map(
-            lambda x: x.copy() if isinstance(x, np.ndarray)
-            else jax.device_get(x), state)
+        def _host_copy(x):
+            y = x if isinstance(x, np.ndarray) else jax.device_get(x)
+            return y.copy() if isinstance(y, np.ndarray) else y
+
+        snapshot = jax.tree.map(_host_copy, state)
         self._ckptr.save(path, snapshot, force=True)
         if block:
             self.wait()
