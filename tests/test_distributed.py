@@ -117,7 +117,10 @@ def _run_two_hosts(module, argv, marker, _retries=1):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1500)
+            # cold-compile-cache bound: two concurrent full-step compiles on
+            # this single-core host take ~25 min each (observed); warm runs
+            # finish in ~2 min. 1500 s flaked on a fresh checkout.
+            out, _ = p.communicate(timeout=3600)
             outs.append(out)
     finally:
         for p in procs:
