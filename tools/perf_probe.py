@@ -64,6 +64,10 @@ def main():
                     help="probe the rejected scan-over-layers stacked "
                          "params opt-in instead of the shipped per-layer "
                          "default")
+    ap.add_argument("--compiler_opts", default=None,
+                    help="comma-separated k=v XLA compiler options applied "
+                         "to the 'step' variant via lower().compile(), e.g. "
+                         "xla_tpu_scoped_vmem_limit_kib=65536")
     args = ap.parse_args()
     variants = args.variants.split(",")
 
@@ -129,6 +133,11 @@ def main():
         st = TrainState(params, tx.init(params),
                         bf16_param_shadow(params)
                         if args.bf16_params else None)
+        if args.compiler_opts:
+            opts = dict(kv.split("=", 1)
+                        for kv in args.compiler_opts.split(","))
+            step = step.lower(st, batch, jax.random.PRNGKey(0)).compile(
+                compiler_options=opts)
         # non-donating timing loop: feed back the result
         out = step(st, batch, jax.random.PRNGKey(0))
         sync_state(out)
