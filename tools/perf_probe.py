@@ -64,6 +64,9 @@ def main():
                     help="probe the rejected scan-over-layers stacked "
                          "params opt-in instead of the shipped per-layer "
                          "default")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder-layer activations "
+                         "(config.lxmert.remat) - memory-for-FLOPs knob")
     ap.add_argument("--compiler_opts", default=None,
                     help="comma-separated k=v XLA compiler options applied "
                          "to the 'step' variant via lower().compile(), e.g. "
@@ -95,6 +98,7 @@ def main():
     cfg = cfg.replace(lxmert=cfg.lxmert.replace(
         dtype="bfloat16",
         stacked_layers=args.stacked,
+        remat=args.remat,
         bert=dataclasses.replace(cfg.lxmert.bert,
                                  use_pallas_attention=not args.no_pallas)))
     model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)

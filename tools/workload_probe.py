@@ -39,6 +39,12 @@ def main():
                     help="carry the bf16 param shadow in the pretrain "
                          "step (config.train.bf16_params); 0 to bisect")
     ap.add_argument("--infer_bs", type=int, default=512)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder activations in the pretrain "
+                         "step (config.lxmert.remat)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="pretrain gradient accumulation (train.accum_steps)"
+                         ": times one full group (N grad folds + 1 update)")
     args = ap.parse_args()
     variants = args.variants.split(",")
 
@@ -75,9 +81,11 @@ def main():
         cfg = gqa_ood_config(
             output=os.path.join(root, "out"),
             train=TrainConfig(batch_size=bs, lr=1e-4, epochs=1,
-                              bf16_params=bool(args.bf16_params)))
+                              bf16_params=bool(args.bf16_params),
+                              accum_steps=args.accum))
         cfg = cfg.replace(lxmert=cfg.lxmert.replace(
             dtype="bfloat16",
+            remat=args.remat,
             bert=dataclasses.replace(cfg.lxmert.bert,
                                      use_pallas_attention=True)))
         pt = LxmertPretrainer(cfg, feat)
@@ -87,18 +95,49 @@ def main():
         batch["feats"] = batch["feats"].astype(jnp.bfloat16)
         batch = jax.device_put(batch)
 
-        state, loss, losses, preds = pt.train_step(
-            pt.state, batch, jax.random.PRNGKey(0))
-        float(loss)  # compile + sync
-        t0 = time.perf_counter()
-        for i in range(args.iters):
+        if args.accum > 1:
+            # one full accumulation group = accum grad folds + one update
+            from xggm_tpu.training.steps import _apply_params
+
+            def group(state, seed):
+                acc = pt.zero_acc(_apply_params(state))
+                for j in range(args.accum):
+                    acc, loss, _, _ = pt.grad_step(
+                        acc, _apply_params(state), batch,
+                        jax.random.PRNGKey(seed * args.accum + j))
+                return pt.apply_step(state, acc), loss
+
+            state, loss = group(pt.state, 0)
+            float(loss)  # compile + sync
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                state, loss = group(state, 1 + i)
+            float(loss)
+            dt = (time.perf_counter() - t0) / args.iters
+            results["pretrain_group_ms"] = round(dt * 1e3, 2)
+            results["pretrain_sents_per_sec"] = round(
+                bs * args.accum / dt, 2)
+            results["pretrain_bs"] = bs
+            results["pretrain_accum"] = args.accum
+        else:
             state, loss, losses, preds = pt.train_step(
-                state, batch, jax.random.PRNGKey(i))
-        float(loss)
-        dt = (time.perf_counter() - t0) / args.iters
-        results["pretrain_step_ms"] = round(dt * 1e3, 2)
-        results["pretrain_sents_per_sec"] = round(bs / dt, 2)
-        results["pretrain_bs"] = bs
+                pt.state, batch, jax.random.PRNGKey(0))
+            float(loss)  # compile + sync
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                state, loss, losses, preds = pt.train_step(
+                    state, batch, jax.random.PRNGKey(i))
+            float(loss)
+            dt = (time.perf_counter() - t0) / args.iters
+            results["pretrain_step_ms"] = round(dt * 1e3, 2)
+            results["pretrain_sents_per_sec"] = round(bs / dt, 2)
+            results["pretrain_bs"] = bs
+        try:  # peak HBM (unsupported on some relay backends)
+            ms = jax.local_devices()[0].memory_stats()
+            results["pretrain_peak_hbm_gb"] = round(
+                ms.get("peak_bytes_in_use", 0) / 2**30, 2)
+        except Exception:
+            pass
 
     if "inference" in variants or "inference_int8" in variants:
         from xggm_tpu.models.task_model import XGGMModel

@@ -85,6 +85,15 @@ class LxmertConfig:
     # 131 ms (rolled) vs 90.2 ms per-layer. Kept as a tested opt-in
     # (equivalence pinned by tests/test_parity.py).
     stacked_layers: bool = False
+    # Activation rematerialization (jax.checkpoint) over every encoder
+    # layer: the backward pass recomputes each layer's activations instead
+    # of holding them in HBM, trading ~1/3 more FLOPs for O(L) -> O(1)
+    # activation memory in the layer stacks. TPU-side scaling knob (no
+    # reference counterpart - torch would use torch.utils.checkpoint);
+    # enables batch sizes past the HBM ceiling, where the throughput-per-
+    # chip gain of the bigger batch outweighs the recompute (docs/PERF.md
+    # batch-scaling table).
+    remat: bool = False
 
     @property
     def compute_dtype(self):
@@ -140,6 +149,16 @@ class TrainConfig:
     # may keep extra precision in the fp32-param graph; see
     # tests/test_bf16_shadow.py). -2.7% step time on v5e (docs/PERF.md).
     bf16_params: bool = True
+    # Gradient accumulation for LXMERT pretraining (training/pretrainer.py):
+    # accumulate grads over `accum_steps` consecutive microbatches of
+    # `batch_size` on device, then run ONE BertAdam update on their mean -
+    # effective batch = batch_size x accum_steps without the activation
+    # memory of the big batch (combine with lxmert.remat to push further).
+    # The schedule's t_total counts OPTIMIZER steps, so warmup spans the
+    # same fraction of training. TPU-side scaling knob, no reference
+    # counterpart; the two-phase fine-tune recipes pin their batch sizes
+    # (96/92) and do not use it.
+    accum_steps: int = 1
 
 
 @dataclass(frozen=True)

@@ -99,15 +99,55 @@ def make_hybrid_mesh(model_parallel: int = 1,
         dcn_mesh_shape=(n_granules, 1),
         devices=devices, process_is_granule=True)
     mesh = Mesh(grid, ("data", "model"))
-    # Establish the cross-host collective context NOW, while every process
-    # sits at the same program point (right after distributed init). The
-    # context bootstrap has a hard 30 s rendezvous inside XLA's CPU gloo
-    # backend, and without this the first real collective is dispatched
-    # only after each host's first jit compile - which can skew by minutes
-    # (e.g. asymmetric compile-cache hits) and kill the run.
+    # Establish the cross-host collective contexts NOW, while every process
+    # sits at the same program point. XLA's CPU-gloo backend bootstraps one
+    # context per device CLIQUE at the first collective that uses it, with
+    # a hard 30 s rendezvous; once established, a clique's context is
+    # reused by every later executable (verified: a second collective
+    # survives 60 s of deliberate dispatch skew). Without this, the first
+    # real collective bootstraps only after each host's first jit compile,
+    # which can skew hosts past 30 s (cold compile caches: minutes) and
+    # kill the run. Order matters:
+    #   1. KV barrier - the coordination-service barrier tolerates minutes
+    #      of startup skew (imports, dataset mmap), so the bootstraps below
+    #      start from millisecond-level alignment;
+    #   2. full-mesh psum - establishes the all-devices clique that the
+    #      train/eval steps' gradient all-reduces use;
+    #   3. sync_global_devices - establishes the one-device-per-process
+    #      clique that process_allgather/to_host use.
+    host_barrier("hybrid_mesh_init")
+    n = int(grid.size)
+    sh_in = NamedSharding(mesh, P(mesh.axis_names[0]))
+    ones = jax.device_put(np.ones(n, np.float32), sh_in)
+    total = jax.jit(lambda v: v.sum(),
+                    out_shardings=NamedSharding(mesh, P()))(ones)
+    got = float(np.asarray(total.addressable_data(0)))
+    if got != float(n):  # also a cheap end-to-end collective self-check
+        raise RuntimeError(f"mesh warmup all-reduce returned {got}, "
+                           f"expected {n}")
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices("xggm:hybrid_mesh_init")
     return mesh
+
+
+def host_barrier(name: str, timeout_s: int = 1800) -> None:
+    """Align every process at a named program point through the
+    coordination service (the jax.distributed KV store) - a host-side
+    barrier with a configurable, minutes-scale timeout.
+
+    Use this instead of `multihost_utils.sync_global_devices` wherever the
+    point being aligned may be reached with large host skew: sync runs a
+    device collective, whose CPU-gloo context bootstrap allows only a hard
+    30 s rendezvous, so it *crashes* in exactly the situations a barrier
+    is for. No-op single-process.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+    client = getattr(_dist.global_state, "client", None)
+    if client is None:  # initialized outside jax.distributed (unexpected)
+        return
+    client.wait_at_barrier(f"xggm:{name}", timeout_s * 1000)
 
 
 def local_batch_to_global(mesh: Mesh, local_batch, global_batch_size: int):

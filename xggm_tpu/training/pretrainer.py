@@ -82,7 +82,11 @@ class LxmertPretrainer:
         else:
             self._put = jax.device_put
 
-        steps_per_epoch = len(train_feat) // cfg.train.batch_size
+        # with gradient accumulation, the schedule ticks once per OPTIMIZER
+        # step (one per accum_steps microbatches), so t_total counts those
+        self.accum = max(1, int(cfg.train.accum_steps))
+        steps_per_epoch = (len(train_feat) // cfg.train.batch_size
+                           // self.accum)
         t_total = int(steps_per_epoch * cfg.train.epochs)
         self.tx = bert_adam(lr=cfg.train.lr, warmup=0.05, t_total=t_total,
                             weight_decay=cfg.train.weight_decay)
@@ -117,7 +121,35 @@ class LxmertPretrainer:
                 method=PretrainModel.compute_losses)
             return total, losses, jnp.argmax(ans_logits, axis=-1)
 
+        # gradient-accumulation pair (cfg.train.accum_steps > 1): grad_step
+        # folds one microbatch's fp32 grads into a donated accumulator;
+        # apply_step runs clip+BertAdam(+shadow refresh) on the mean. Each
+        # microbatch stays an ordinary P('data') batch, so the same code
+        # serves single-chip, SPMD mesh, and multi-host feeding.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def grad_step(acc, params, batch, key):
+            (total, (losses, ans_logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, key)
+            acc = jax.tree.map(lambda a, g: a + g.astype(a.dtype),
+                               acc, grads)
+            return acc, total, losses, jnp.argmax(ans_logits, axis=-1)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def apply_step(state: TrainState, acc):
+            grads = jax.tree.map(lambda a: a / self.accum, acc)
+            return _clip_update_apply(self.tx, grads, state, 1.0)
+
+        @jax.jit
+        def zero_acc(params):
+            # fp32 accumulator over the APPLIED tree (bf16 shadow leaves
+            # produce bf16 cotangents; accumulate them in fp32)
+            return jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+
         self.train_step = train_step
+        self.grad_step = grad_step
+        self.apply_step = apply_step
+        self.zero_acc = zero_acc
         self.valid_step = valid_step
         self.task_qa = task_qa
         # per-epoch QA accuracy over the collected uid->answer predictions
@@ -165,10 +197,27 @@ class LxmertPretrainer:
             sums: Dict[str, float] = {}
             uid2ans = {}
             n = 0
+            acc, micro = None, 0
+            n_micro = len(self.train_feat) // bs
+            n_micro -= n_micro % self.accum  # whole accumulation groups
             for batch, uids in self._batches(self.train_feat, bs, True, rng):
+                if n >= n_micro:
+                    break  # trailing partial group: dropped, like the
+                    # partial trailing batch in _batches
                 batch = self._put(batch)
-                self.state, loss, losses, preds = self.train_step(
-                    self.state, batch, self._next_key())
+                if self.accum == 1:
+                    self.state, loss, losses, preds = self.train_step(
+                        self.state, batch, self._next_key())
+                else:
+                    params = _apply_params(self.state)
+                    if acc is None:
+                        acc = self.zero_acc(params)
+                    acc, loss, losses, preds = self.grad_step(
+                        acc, params, batch, self._next_key())
+                    micro += 1
+                    if micro == self.accum:
+                        self.state = self.apply_step(self.state, acc)
+                        acc, micro = None, 0
                 check_step_finite(n, "pretrain", {"loss": loss, **losses})
                 total_loss += host_scalar(loss)
                 for k, v in losses.items():
