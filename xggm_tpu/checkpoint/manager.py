@@ -74,6 +74,15 @@ class CheckpointManager:
         self.wait()
         return os.path.isdir(self._path(name))
 
+    def remove(self, name: str) -> None:
+        """Delete a checkpoint if present (e.g. a consumed PREEMPT cursor)."""
+        self.wait()
+        path = self._path(name)
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+
     def latest_epoch(self) -> Optional[int]:
         """Find the newest BEST_{epoch} checkpoint for resume."""
         self.wait()

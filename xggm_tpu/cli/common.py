@@ -108,9 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the first N steps "
                         "into {output}/trace")
     p.add_argument("--resume", action="store_const", default=False,
-                   const=True, help="resume from the newest BEST_{epoch} "
-                                    "checkpoint in --output (full train "
-                                    "state incl. optimizer)")
+                   const=True, help="resume from the newest checkpoint in "
+                                    "--output (full train state incl. "
+                                    "optimizer): a mid-epoch PREEMPT save "
+                                    "(written on SIGTERM) or BEST_{epoch}")
     p.add_argument("--pallas_attention", action="store_const", default=False,
                    const=True, help="use the Pallas fused-attention kernel")
     p.add_argument("--remat", action="store_const", default=False, const=True,

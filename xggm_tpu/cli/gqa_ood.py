@@ -72,7 +72,13 @@ def main(argv=None):
     else:
         print(f"Oracle score: {trainer.oracle_score() * 100.:.2f}")
         start_epoch = trainer.resume() if args.resume else 0
-        best = trainer.train(start_epoch)
+        from xggm_tpu.utils.preempt import Preempted, PREEMPTED_EXIT_CODE
+        try:
+            best = trainer.train(start_epoch)
+        except Preempted as e:
+            # eviction notice handled: state is on disk; rerun with --resume
+            print(e)
+            raise SystemExit(PREEMPTED_EXIT_CODE)
         print(f"Best valid: {best * 100.:.2f}")
 
 

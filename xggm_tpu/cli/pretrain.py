@@ -75,7 +75,14 @@ def main(argv=None):
                                            "opt_state": trainer.state.opt_state})
         trainer.state = trainer._make_state(restored["params"],
                                             restored["opt_state"])
-    best = trainer.train()
+    start_epoch = trainer.resume() if args.resume else 0
+    from xggm_tpu.utils.preempt import Preempted, PREEMPTED_EXIT_CODE
+    try:
+        best = trainer.train(start_epoch)
+    except Preempted as e:
+        # eviction notice handled: state is on disk; rerun with --resume
+        print(e)
+        raise SystemExit(PREEMPTED_EXIT_CODE)
     print(f"Best eval loss: {best:.4f}")
 
 

@@ -67,7 +67,13 @@ def main(argv=None):
             print(f"{args.test} ({args.tmode}) accuracy: {acc * 100.:.2f}")
     else:
         start_epoch = trainer.resume() if args.resume else 0
-        best = trainer.train(start_epoch)
+        from xggm_tpu.utils.preempt import Preempted, PREEMPTED_EXIT_CODE
+        try:
+            best = trainer.train(start_epoch)
+        except Preempted as e:
+            # eviction notice handled: state is on disk; rerun with --resume
+            print(e)
+            raise SystemExit(PREEMPTED_EXIT_CODE)
         print(f"Best valid: {best * 100.:.2f}")
 
 

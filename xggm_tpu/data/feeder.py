@@ -45,6 +45,15 @@ class Feeder:
         self.process_index = process_index
         self.process_count = process_count
         self._epoch = 0
+        self._skip_next = 0
+
+    def set_position(self, epoch: int, skip_batches: int = 0) -> None:
+        """Resume support: align the per-epoch shuffle stream to `epoch` and
+        drop the first `skip_batches` index batches of the NEXT iteration
+        (they were already consumed before a preemption; skipping happens
+        before assembly, so fast-forward costs nothing)."""
+        self._epoch = epoch
+        self._skip_next = skip_batches
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -74,10 +83,13 @@ class Feeder:
         static shapes; reference relied on DataParallel ragged gather)."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         SENTINEL = object()
+        skip, self._skip_next = self._skip_next, 0
 
         def producer():
             try:
-                for idx in self._index_batches():
+                for j, idx in enumerate(self._index_batches()):
+                    if j < skip:
+                        continue
                     qids = self.dataset.question_ids(idx)
                     if self.process_count > 1:
                         # pad the INDEX list (repeating the last row; the

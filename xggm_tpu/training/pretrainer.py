@@ -16,6 +16,8 @@ from xggm_tpu.data.pretrain_data import PretrainFeaturizer
 from xggm_tpu.models.pretrain_model import PretrainModel, LOSSES_NAME
 from xggm_tpu.parallel.distributed import host_scalar, to_host
 from xggm_tpu.utils.guard import check_step_finite
+from xggm_tpu.utils.preempt import (
+    Preempted, PreemptionGuard, pack_np_rng_state, unpack_np_rng_state)
 from xggm_tpu.training.bert_adam import bert_adam
 from xggm_tpu.training.steps import (
     TrainState, _apply_params, _clip_update_apply, bf16_param_shadow)
@@ -163,6 +165,9 @@ class LxmertPretrainer:
 
         from xggm_tpu.checkpoint.manager import CheckpointManager
         self.ckpt = CheckpointManager(self.output)
+        # Preemption guard (utils/preempt.py): installed lazily in train()
+        self.preempt: Optional[PreemptionGuard] = None
+        self._resume_cursor: Optional[Dict[str, object]] = None
 
     def _make_state(self, params, opt_state=None) -> TrainState:
         """Fresh TrainState: fp32 masters + (with bf16 compute) the bf16
@@ -179,28 +184,45 @@ class LxmertPretrainer:
         return sub
 
     def _batches(self, feat: PretrainFeaturizer, bs: int, shuffle: bool,
-                 rng: np.random.RandomState):
+                 rng: np.random.RandomState, skip: int = 0):
+        """skip > 0 (preemption resume): drop the first `skip` batches of the
+        epoch WITHOUT featurizing them - the featurizer's masking RNG was
+        checkpointed mid-epoch, so replaying those calls would desync it."""
         order = np.arange(len(feat))
         if shuffle:
             rng.shuffle(order)
         stop = (len(feat) // bs) * bs
-        for s in range(0, stop, bs):
+        for j, s in enumerate(range(0, stop, bs)):
+            if j < skip:
+                continue
             yield feat.featurize(order[s: s + bs].tolist())
 
-    def train(self) -> float:
+    def train(self, start_epoch: int = 0) -> float:
         cfg = self.cfg
         rng = np.random.RandomState(cfg.train.seed)
-        best_eval_loss = float("inf")
         bs = cfg.train.batch_size
-        for epoch in range(cfg.train.epochs):
+        if self.preempt is None:
+            self.preempt = PreemptionGuard()
+        cursor = self._resume_cursor or {}
+        self._resume_cursor = None
+        opt_steps = int(cursor.get("opt_steps", 0))
+        best_eval_loss = float(cursor.get("best", float("inf")))
+        for epoch in range(start_epoch, cfg.train.epochs):
+            skip = int(cursor.get("skip", 0)) if epoch == start_epoch else 0
+            if skip and cursor.get("loop_rng0") is not None:
+                # shuffle stream as of the preempted epoch's start: _batches
+                # regenerates the SAME order, then drops the consumed prefix
+                unpack_np_rng_state(rng, cursor["loop_rng0"])
+            epoch_rng0 = pack_np_rng_state(rng)
             total_loss = 0.0
             sums: Dict[str, float] = {}
-            uid2ans = {}
-            n = 0
+            uid2ans = {}  # on a resumed epoch: remaining batches only
+            n, n_proc = skip, 0
             acc, micro = None, 0
             n_micro = len(self.train_feat) // bs
             n_micro -= n_micro % self.accum  # whole accumulation groups
-            for batch, uids in self._batches(self.train_feat, bs, True, rng):
+            for batch, uids in self._batches(self.train_feat, bs, True, rng,
+                                             skip=skip):
                 if n >= n_micro:
                     break  # trailing partial group: dropped, like the
                     # partial trailing batch in _batches
@@ -226,9 +248,21 @@ class LxmertPretrainer:
                     for uid, p in zip(uids, to_host(preds)):
                         uid2ans[uid] = self.answer_table.id2ans(int(p))
                 n += 1
-            line = f"Epoch {epoch}: train loss {total_loss / max(n,1):.4f} " \
-                + " ".join(f"{k}: {sums.get(k, 0.) / max(n,1):.4f}"
-                           for k in LOSSES_NAME if k in sums)
+                n_proc += 1
+                if micro == 0:
+                    # accumulation-group boundary = a consistent optimizer
+                    # state; the only place a preemption save is coherent
+                    opt_steps += 1
+                    if self.preempt.should_save(opt_steps):
+                        self.save_preempt(epoch, n, opt_steps,
+                                          best_eval_loss, epoch_rng0)
+                        raise Preempted(
+                            f"preempted at epoch {epoch} batch {n}; "
+                            f"PREEMPT checkpoint committed to {self.output}")
+            line = (f"Epoch {epoch}: train loss "
+                    f"{total_loss / max(n_proc, 1):.4f} "
+                    + " ".join(f"{k}: {sums.get(k, 0.) / max(n_proc, 1):.4f}"
+                               for k in LOSSES_NAME if k in sums))
             if self.train_evaluator is not None:
                 accu, dset_acc = self.train_evaluator.evaluate(uid2ans)
                 line += (f"\ntrain QA accuracy: {accu:.4f}"
@@ -246,7 +280,61 @@ class LxmertPretrainer:
                     self.save("BEST_EVAL_LOSS")
             self.save(f"Epoch{epoch + 1:02d}")
         self.ckpt.wait()  # barrier for async background commits
+        if self.primary:  # completed run: a PREEMPT cursor would be stale
+            self.ckpt.remove("PREEMPT")
         return best_eval_loss
+
+    def save_preempt(self, epoch: int, batches_done: int, opt_steps: int,
+                     best_eval_loss: float, loop_rng0: np.ndarray) -> None:
+        """Commit the full mid-epoch loop state on an eviction notice:
+        params + optimizer + batch cursor + BOTH host RNG streams (the
+        epoch-shuffle RandomState as of epoch start, and the featurizer's
+        masking RandomState as of now) + the device PRNG key. Synchronous."""
+        self.ckpt.save("PREEMPT", {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "epoch": np.asarray(epoch, np.int32),
+            "batches_done": np.asarray(batches_done, np.int32),
+            "opt_steps": np.asarray(opt_steps, np.int32),
+            "best_eval_loss": np.asarray(best_eval_loss, np.float64),
+            "loop_rng0": np.asarray(loop_rng0),
+            "feat_rng": pack_np_rng_state(self.train_feat.rng),
+            "key": self.key,
+        }, block=True)
+
+    def resume(self) -> int:
+        """Resume from a PREEMPT checkpoint if present: restores params,
+        optimizer, RNG streams and the mid-epoch cursor; returns the epoch
+        to continue (0 when nothing to resume). Epoch-level restarts keep
+        using --load Epoch{N:02d} as before."""
+        if not self.ckpt.exists("PREEMPT"):
+            return 0
+        import jax.numpy as jnp2  # local: avoid shadowing module jnp
+
+        like = {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "epoch": np.asarray(-1, np.int32),
+                "batches_done": np.asarray(-1, np.int32),
+                "opt_steps": np.asarray(-1, np.int32),
+                "best_eval_loss": np.asarray(0.0, np.float64),
+                "loop_rng0": pack_np_rng_state(np.random.RandomState(0)),
+                "feat_rng": pack_np_rng_state(np.random.RandomState(0)),
+                "key": self.key}
+        restored = self.ckpt.load("PREEMPT", like=like)
+        self.state = self._make_state(restored["params"],
+                                      restored["opt_state"])
+        self.params = self.state.params
+        unpack_np_rng_state(self.train_feat.rng, restored["feat_rng"])
+        self.key = jnp2.asarray(restored["key"])
+        ep = int(restored["epoch"])
+        self._resume_cursor = {
+            "skip": int(restored["batches_done"]),
+            "opt_steps": int(restored["opt_steps"]),
+            "best": float(restored["best_eval_loss"]),
+            "loop_rng0": np.asarray(restored["loop_rng0"])}
+        print(f"resumed from PREEMPT (epoch {ep}, "
+              f"{int(restored['batches_done'])} batches done)")
+        return ep
 
     def evaluate_epoch(self) -> float:
         bs = self.cfg.train.batch_size

@@ -32,6 +32,8 @@ from xggm_tpu.data.datasets import (
 from xggm_tpu.data.feeder import Feeder
 from xggm_tpu.parallel.distributed import to_host
 from xggm_tpu.utils.guard import check_step_finite
+from xggm_tpu.utils.preempt import (
+    Preempted, PreemptionGuard, pack_rng_state, unpack_rng_state)
 from xggm_tpu.data.tokenizer import BertTokenizer
 from xggm_tpu.models.task_model import XGGMModel
 from xggm_tpu.training.bert_adam import bert_adam, lr_scale_tree
@@ -148,6 +150,10 @@ class XGGMTrainer:
             else MetricsLogger(None)
         self.host_rng = random.Random(cfg.train.seed)
         self.key = jax.random.PRNGKey(cfg.train.seed)
+        # Preemption guard: installed lazily (first train() call) so merely
+        # constructing a trainer never touches process signal handlers.
+        self.preempt: Optional[PreemptionGuard] = None
+        self._resume_cursor: Optional[Dict[str, int]] = None
 
     # ------------------------------------------------------------------
 
@@ -252,11 +258,57 @@ class XGGMTrainer:
                               "opt_state": self.state.opt_state,
                               "epoch": np.asarray(epoch, np.int32)})
 
+    def save_preempt(self, epoch: int, batches_done: int, train_iter: int,
+                     best_valid: float) -> None:
+        """Commit the full mid-epoch loop state (params + optimizer + batch
+        cursor + host/device RNG streams) as the PREEMPT checkpoint.
+        Synchronous: the grace window after SIGTERM is short."""
+        self.ckpt.save("PREEMPT", {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "epoch": np.asarray(epoch, np.int32),
+            "batches_done": np.asarray(batches_done, np.int32),
+            "train_iter": np.asarray(train_iter, np.int32),
+            "best_valid": np.asarray(best_valid, np.float64),
+            "host_rng": pack_rng_state(self.host_rng),
+            "key": self.key,
+        }, block=True)
+
     def resume(self) -> int:
-        """Resume from the newest BEST_{epoch} checkpoint; returns the next
-        epoch index (0 when nothing to resume). Restores optimizer state -
-        the reference cannot do this (SURVEY §5.4)."""
+        """Resume from the newest checkpoint; returns the epoch index to
+        start (0 when nothing to resume). Restores optimizer state - the
+        reference cannot do this (SURVEY §5.4).
+
+        A PREEMPT checkpoint (mid-epoch, written on SIGTERM) wins over
+        BEST_{n} when it is from a later epoch than any completed one; the
+        run then continues the SAME epoch at the saved shuffle position with
+        the saved RNG streams (utils/preempt.py)."""
         last = self.ckpt.latest_epoch()
+        if self.ckpt.exists("PREEMPT"):
+            like = {"params": self.state.params,
+                    "opt_state": self.state.opt_state,
+                    "epoch": np.asarray(-1, np.int32),
+                    "batches_done": np.asarray(-1, np.int32),
+                    "train_iter": np.asarray(-1, np.int32),
+                    "best_valid": np.asarray(0.0, np.float64),
+                    "host_rng": pack_rng_state(self.host_rng),
+                    "key": self.key}
+            restored = self.ckpt.load("PREEMPT", like=like)
+            ep = int(restored["epoch"])
+            if last is None or ep > last:
+                self.state = self._make_state(restored["params"],
+                                              restored["opt_state"])
+                self.params = self.state.params
+                unpack_rng_state(self.host_rng, restored["host_rng"])
+                import jax.numpy as jnp
+                self.key = jnp.asarray(restored["key"])
+                self._resume_cursor = {
+                    "skip_batches": int(restored["batches_done"]),
+                    "train_iter": int(restored["train_iter"]),
+                    "best_valid": float(restored["best_valid"])}
+                print(f"resumed from PREEMPT (epoch {ep}, "
+                      f"{int(restored['batches_done'])} batches done)")
+                return ep
         if last is None:
             return 0
         restored = self.ckpt.load(
@@ -293,12 +345,23 @@ class XGGMTrainer:
             jax.profiler.start_trace(os.path.join(self.output, "trace"))
             trace_open = True
 
-        best_valid = 0.0
-        train_iter = 0
+        if self.preempt is None:
+            self.preempt = PreemptionGuard()
+        cursor = self._resume_cursor or {}
+        self._resume_cursor = None
+        start_batch = cursor.get("skip_batches", 0)
+        best_valid = cursor.get("best_valid", 0.0)
+        train_iter = cursor.get("train_iter", 0)
+        # align the feeder's per-epoch shuffle stream with the resumed run
+        # and fast-forward past the batches the preempted run consumed
+        feeder.set_position(start_epoch, start_batch)
         for epoch in range(start_epoch, cfg.train.epochs):
+            # on a PREEMPT-resumed epoch, train_acc covers the remaining
+            # batches only (the consumed ones were scored pre-preemption)
             quesid2ans: Dict[object, str] = {}
             t_epoch = time.time()
-            for i, (qids, batch, _mask) in enumerate(feeder):
+            offset = start_batch if epoch == start_epoch else 0
+            for i, (qids, batch, _mask) in enumerate(feeder, start=offset):
                 use_relation = self.host_rng.randint(1, 10) <= cfg.ggm.delta
                 step = self.rel_step if use_relation else self.rep_step
                 self.state, metrics = step(self.state, batch, self._next_key())
@@ -314,6 +377,15 @@ class XGGMTrainer:
                 if trace_open and train_iter >= self.profile_steps:
                     jax.profiler.stop_trace()
                     trace_open = False
+
+                if self.preempt.should_save(train_iter):
+                    if trace_open:
+                        jax.profiler.stop_trace()
+                    self.params = self.state.params
+                    self.save_preempt(epoch, i + 1, train_iter, best_valid)
+                    raise Preempted(
+                        f"preempted at epoch {epoch} batch {i + 1}; "
+                        f"PREEMPT checkpoint committed to {self.output}")
 
                 if i in val_points and self.valid_set is not None:
                     acc = self.evaluate_valid()
@@ -342,6 +414,8 @@ class XGGMTrainer:
         if trace_open:  # run shorter than profile_steps: close the trace
             jax.profiler.stop_trace()
         self.ckpt.wait()  # barrier for async background commits
+        if self.primary:  # completed run: a PREEMPT cursor would be stale
+            self.ckpt.remove("PREEMPT")
         # steps donate their input buffers; refresh the params alias
         self.params = self.state.params
         return best_valid
