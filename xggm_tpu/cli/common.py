@@ -123,6 +123,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pretraining gradient accumulation: one BertAdam "
                         "step per N microbatches of --bs (effective batch "
                         "= N x bs)")
+    p.add_argument("--shard_opt_state", action="store_const", default=False,
+                   const=True,
+                   help="ZeRO-style optimizer-state sharding over the mesh's "
+                        "data axis (requires --multiGPU): each chip holds "
+                        "1/N of the fp32 BertAdam moments (and of the fp32 "
+                        "masters when the bf16 shadow is active) - HBM "
+                        "headroom for models whose optimizer state outgrows "
+                        "a chip")
     p.add_argument("--prng", default="rbg", choices=["rbg", "threefry2x32"],
                    help="jax PRNG implementation for dropout keys; rbg is "
                         "the TPU-native generator (-18%% step time on v5e). "
@@ -163,7 +171,9 @@ def to_config(args: argparse.Namespace, task: str) -> XGGMConfig:
                           dropout=args.dropout, seed=args.seed,
                           clean_phase_first=clean_first,
                           rel_d_mult=rel_d_mult,
-                          accum_steps=getattr(args, "accum_steps", 1)),
+                          accum_steps=getattr(args, "accum_steps", 1),
+                          shard_opt_state=getattr(args, "shard_opt_state",
+                                                  False)),
         data=DataConfig(train=args.train or "",
                         valid=args.valid or "",
                         test=args.test, tiny=args.tiny, fast=args.fast,

@@ -159,6 +159,16 @@ class TrainConfig:
     # counterpart; the two-phase fine-tune recipes pin their batch sizes
     # (96/92) and do not use it.
     accum_steps: int = 1
+    # ZeRO-style optimizer-state sharding over the mesh's 'data' axis
+    # (parallel/mesh.zero_state_shardings): each chip holds 1/N of BertAdam's
+    # fp32 m/v moments - and of the fp32 masters whose compute copies live in
+    # the bf16 shadow - trading one bf16 all-gather of the refreshed shadow
+    # per optimizer step for an ~(12/N + 2)-bytes-per-param HBM footprint
+    # (vs 14 replicated). Scale-out knob for models whose optimizer state
+    # outgrows a chip; no reference counterpart (its DataParallel keeps all
+    # gradient math on device 0). Requires a mesh; single-host processes
+    # only (orbax snapshot saves need fully-addressable arrays).
+    shard_opt_state: bool = False
 
 
 @dataclass(frozen=True)

@@ -108,6 +108,98 @@ def param_shardings(params, mesh: Mesh, min_model_dim: int = 2048):
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
+def _with_data_axis(spec, shape, data_size: int):
+    """Add 'data' to the first unsharded dim divisible by the data-axis size.
+
+    Used by the ZeRO-style optimizer-state sharding: a leaf that already
+    carries a tensor-parallel 'model' axis keeps it (the result is a 2-D
+    ('data', 'model') layout); a leaf with no divisible dim stays as-is
+    (replicated over 'data')."""
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    for d, n in enumerate(shape):
+        if parts[d] is None and n >= data_size and n % data_size == 0:
+            parts[d] = "data"
+            break
+    return P(*parts)
+
+
+def zero_state_shardings(state, mesh: Mesh, param_shardings_tree):
+    """ZeRO-style sharding layout for a TrainState (training/steps.py).
+
+    The reference has no distributed optimizer at all (its DataParallel
+    keeps gradient math on device 0, src/lxrt/entry.py:103-104); this is the
+    TPU-native scale-out layout for models whose optimizer state outgrows a
+    chip: BertAdam's m/v moments - and, when the bf16 param shadow carries
+    the compute copies (steps.bf16_param_shadow), the fp32 masters too -
+    shard over the 'data' axis, so each chip holds 1/N of the fp32 state.
+    The SPMD partitioner then lowers the update to reduce-scattered gradient
+    shards + a bf16 all-gather of the refreshed shadow (ZeRO-1; see
+    docs/PERF.md Multi-chip).
+
+    Per-leaf placement:
+      * m / v moments: the param's tensor-parallel spec + 'data' on the
+        first unsharded divisible dim;
+      * fp32 masters: same 'data' sharding - but ONLY for leaves whose
+        compute copy lives in the bf16 shadow (fwd/bwd never read those
+        masters); fp32-consumed masters (LayerNorm, embeddings - or all of
+        them without a shadow) keep their original spec, since the forward
+        reads them directly;
+      * bf16 shadow leaves: the param's original (TP or replicated) spec -
+        the forward reads them every step;
+      * scalar bookkeeping (count, per-leaf counters, activation flags):
+        replicated.
+
+    Returns a TrainState-shaped pytree of NamedShardings (feed to
+    `apply_state_shardings` and to the train-step builders'
+    `state_shardings=`).
+    """
+    import jax
+
+    from xggm_tpu.training.steps import TrainState, _path_str
+
+    data_size = mesh.shape.get("data", 1)
+    rep = NamedSharding(mesh, P())
+
+    def spec_of(sh):
+        return sh.spec if isinstance(sh, NamedSharding) else P()
+
+    def moment_sharding(leaf, psh):
+        return NamedSharding(
+            mesh, _with_data_axis(spec_of(psh), leaf.shape, data_size))
+
+    shadow = state.params_bf16
+    shadowed = set(shadow.keys()) if shadow is not None else set()
+
+    def master_sharding(path, leaf, psh):
+        if _path_str(path) in shadowed:
+            return moment_sharding(leaf, psh)
+        return psh
+
+    params_sh = jax.tree_util.tree_map_with_path(
+        master_sharding, state.params, param_shardings_tree)
+    flat_psh = {_path_str(path): sh for path, sh
+                in jax.tree_util.tree_leaves_with_path(param_shardings_tree)}
+
+    opt = state.opt_state
+    opt_sh = opt._replace(
+        count=rep,
+        m=jax.tree.map(moment_sharding, opt.m, param_shardings_tree),
+        v=jax.tree.map(moment_sharding, opt.v, param_shardings_tree),
+        leaf_count=jax.tree.map(lambda _: rep, opt.leaf_count),
+        active=jax.tree.map(lambda _: rep, opt.active),
+    )
+    shadow_sh = None if shadow is None else {
+        k: flat_psh.get(k, rep) for k in shadow}
+    return TrainState(params_sh, opt_sh, shadow_sh)
+
+
+def apply_state_shardings(state, shardings):
+    """device_put every TrainState leaf onto its ZeRO sharding."""
+    import jax
+
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
 def shard_like_params(tree, param_shardings_tree, mesh: Mesh):
     """Shard an optimizer-state tree whose leaves mirror params (m/v moments)
     with the params' shardings; non-mirroring leaves replicate."""

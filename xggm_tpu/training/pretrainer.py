@@ -20,7 +20,8 @@ from xggm_tpu.utils.preempt import (
     Preempted, PreemptionGuard, pack_np_rng_state, unpack_np_rng_state)
 from xggm_tpu.training.bert_adam import bert_adam
 from xggm_tpu.training.steps import (
-    TrainState, _apply_params, _clip_update_apply, bf16_param_shadow)
+    TrainState, _apply_params, _clip_update_apply, _constrain_state,
+    bf16_param_shadow)
 
 
 class LxmertPretrainer:
@@ -53,6 +54,7 @@ class LxmertPretrainer:
              "dropout": jax.random.PRNGKey(cfg.train.seed + 1)},
             batch["input_ids"], batch["input_mask"], batch["segment_ids"],
             batch["feats"], batch["boxes"])
+        self._param_shardings = None
         if mesh is not None:
             # SPMD data(+tensor) parallel pretraining - the reference
             # DataParallels the WHOLE model here (lxmert_pretrain.py:255-256
@@ -62,6 +64,16 @@ class LxmertPretrainer:
 
             psh = param_shardings(self.params, mesh)
             self.params = jax.tree.map(jax.device_put, self.params, psh)
+            self._param_shardings = psh
+        if cfg.train.shard_opt_state:
+            if mesh is None:
+                raise ValueError("shard_opt_state requires a device mesh "
+                                 "(--multiGPU)")
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "shard_opt_state is single-host-process only: the orbax "
+                    "snapshot save (checkpoint/manager.py) needs fully-"
+                    "addressable arrays")
         self.primary = jax.process_index() == 0
         if mesh is not None and jax.process_count() > 1:
             # multi-host: every process featurizes the same global batch
@@ -114,6 +126,7 @@ class LxmertPretrainer:
             (total, (losses, ans_logits)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(_apply_params(state), batch, key)
             state = _clip_update_apply(self.tx, grads, state, 1.0)
+            state = _constrain_state(state, self._state_shardings)
             return state, total, losses, jnp.argmax(ans_logits, axis=-1)
 
         @jax.jit
@@ -139,7 +152,8 @@ class LxmertPretrainer:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def apply_step(state: TrainState, acc):
             grads = jax.tree.map(lambda a: a / self.accum, acc)
-            return _clip_update_apply(self.tx, grads, state, 1.0)
+            state = _clip_update_apply(self.tx, grads, state, 1.0)
+            return _constrain_state(state, self._state_shardings)
 
         @jax.jit
         def zero_acc(params):
@@ -171,13 +185,25 @@ class LxmertPretrainer:
 
     def _make_state(self, params, opt_state=None) -> TrainState:
         """Fresh TrainState: fp32 masters + (with bf16 compute) the bf16
-        param shadow the steps read from (steps.bf16_param_shadow)."""
+        param shadow the steps read from (steps.bf16_param_shadow). With
+        cfg.train.shard_opt_state the state lands in its ZeRO layout
+        (parallel/mesh.zero_state_shardings) and self._state_shardings pins
+        it through the jitted steps."""
         use_shadow = (self.cfg.train.bf16_params
                       and self.cfg.lxmert.dtype == "bfloat16")
-        return TrainState(
+        state = TrainState(
             params,
             self.tx.init(params) if opt_state is None else opt_state,
             bf16_param_shadow(params) if use_shadow else None)
+        self._state_shardings = None
+        if self.cfg.train.shard_opt_state:
+            from xggm_tpu.parallel.mesh import (
+                apply_state_shardings, zero_state_shardings)
+
+            self._state_shardings = zero_state_shardings(
+                state, self.mesh, self._param_shardings)
+            state = apply_state_shardings(state, self._state_shardings)
+        return state
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

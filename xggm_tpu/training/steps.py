@@ -124,10 +124,25 @@ def _batch_args(batch: Dict[str, Array]) -> Tuple[Array, ...]:
             batch["feats"], batch["boxes"])
 
 
+def _constrain_state(state: TrainState, shardings) -> TrainState:
+    """Pin the post-update TrainState to its ZeRO layout
+    (parallel/mesh.zero_state_shardings): sharded m/v/masters stay sharded
+    across steps, and the refreshed bf16 shadow is gathered back to its
+    replicated/TP layout ONCE here (the all-gather of ZeRO-1) instead of
+    per-use in the next phase's forward."""
+    if shardings is None:
+        return state
+    return jax.tree.map(jax.lax.with_sharding_constraint, state, shardings)
+
+
 def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
-                        branch: str) -> Callable:
+                        branch: str, state_shardings=None) -> Callable:
     """Build one fused (GGM phase + clean phase) train step for `branch` in
-    {'relation', 'representation'}."""
+    {'relation', 'representation'}.
+
+    state_shardings: optional TrainState-shaped pytree of NamedShardings
+    (parallel/mesh.zero_state_shardings) pinning the ZeRO optimizer-state
+    layout through the step."""
     assert branch in ("relation", "representation")
     num_ans = model.num_answers
     sigma = model.ggm.sigma
@@ -175,6 +190,7 @@ def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
         (loss, aux), grads = jax.value_and_grad(ggm_loss, has_aux=True)(
             _apply_params(state), batch, dk, nk)
         state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
+        state = _constrain_state(state, state_shardings)
         aux["ggm_loss"] = loss
         return state, aux
 
@@ -182,6 +198,7 @@ def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
         (loss, logits), grads = jax.value_and_grad(clean_loss, has_aux=True)(
             _apply_params(state), batch, key)
         state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
+        state = _constrain_state(state, state_shardings)
         return state, {"clean_loss": loss,
                        "preds": jnp.argmax(logits, axis=-1)}
 
@@ -203,7 +220,7 @@ def make_ggm_train_step(model: XGGMModel, tx, cfg: TrainConfig,
 
 
 def make_clean_train_step(model, tx, cfg: TrainConfig,
-                          num_answers: int) -> Callable:
+                          num_answers: int, state_shardings=None) -> Callable:
     """Plain BCE fine-tuning step (reference src/vqa/vqacpv2_baseline.py:
     152-240): one forward, one optimizer step per batch."""
 
@@ -224,6 +241,7 @@ def make_clean_train_step(model, tx, cfg: TrainConfig,
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             _apply_params(state), batch, key)
         state = _clip_update_apply(tx, grads, state, cfg.grad_clip)
+        state = _constrain_state(state, state_shardings)
         return state, {"clean_loss": loss,
                        "preds": jnp.argmax(logits, axis=-1)}
 

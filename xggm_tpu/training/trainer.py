@@ -121,6 +121,7 @@ class XGGMTrainer:
             weight_decay=cfg.train.weight_decay,
             lr_scale=jax.tree.map(
                 lambda s: s / cfg.train.downstream_lr_mult, scales))
+        self._param_shardings = None
         if self.mesh is not None:
             # place params on the mesh; with a model axis > 1 the wide
             # projections (answer head, FFN) shard tensor-parallel
@@ -128,14 +129,27 @@ class XGGMTrainer:
 
             psh = param_shardings(self.params, self.mesh)
             self.params = jax.tree.map(jax.device_put, self.params, psh)
+            self._param_shardings = psh
+        if cfg.train.shard_opt_state:
+            if self.mesh is None:
+                raise ValueError("shard_opt_state requires a device mesh "
+                                 "(--multiGPU)")
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "shard_opt_state is single-host-process only: the orbax "
+                    "snapshot save (checkpoint/manager.py) needs fully-"
+                    "addressable arrays")
         self.state = self._make_state(self.params)
 
+        ssh = self._state_shardings
         self.rel_step = make_ggm_train_step(self.model, self.tx, cfg.train,
-                                            "relation")
+                                            "relation", state_shardings=ssh)
         self.rep_step = make_ggm_train_step(self.model, self.tx, cfg.train,
-                                            "representation")
+                                            "representation",
+                                            state_shardings=ssh)
         self.clean_step = make_clean_train_step(self.model, self.tx,
-                                                cfg.train, num_answers)
+                                                cfg.train, num_answers,
+                                                state_shardings=ssh)
         self.eval_step = make_eval_step(self.model)
 
         from xggm_tpu.checkpoint.manager import CheckpointManager
@@ -174,15 +188,28 @@ class XGGMTrainer:
     def _make_state(self, params, opt_state=None) -> TrainState:
         """Fresh TrainState: fp32 masters + (with bf16 compute) the bf16
         param shadow the train steps read from (steps.bf16_param_shadow -
-        bit-identical math, half the weight-read bytes)."""
+        bit-identical math, half the weight-read bytes). With
+        cfg.train.shard_opt_state, the state lands in its ZeRO layout
+        (m/v + shadowed masters sharded over 'data') and
+        self._state_shardings pins that layout through the train steps -
+        applied here so init, --resume and --load all restore it."""
         from xggm_tpu.training.steps import bf16_param_shadow
 
         use_shadow = (self.cfg.train.bf16_params
                       and self.cfg.lxmert.dtype == "bfloat16")
-        return TrainState(
+        state = TrainState(
             params,
             self.tx.init(params) if opt_state is None else opt_state,
             bf16_param_shadow(params) if use_shadow else None)
+        self._state_shardings = None
+        if self.cfg.train.shard_opt_state:
+            from xggm_tpu.parallel.mesh import (
+                apply_state_shardings, zero_state_shardings)
+
+            self._state_shardings = zero_state_shardings(
+                state, self.mesh, self._param_shardings)
+            state = apply_state_shardings(state, self._state_shardings)
+        return state
 
     def _init_params(self):
         cfg = self.cfg
