@@ -1,0 +1,144 @@
+"""Pipeline parallelism (parallel/pipeline.gpipe_apply): forward and
+gradient equivalence with the sequential stack, on the virtual 8-device CPU
+mesh. Microbatching is exact for per-example layers, so the comparisons are
+tight-tolerance rather than statistical."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from xggm_tpu.parallel.pipeline import (
+    gpipe_apply, sequential_apply, stack_stages)
+
+
+def _pipe_mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("pipe",))
+
+
+def _mlp_layer(p, x, _extra):
+    return jnp.tanh(x @ p["w"] + p["b"])
+
+
+def _mlp_stack(L, d, key):
+    ks = jax.random.split(key, 2 * L)
+    return {
+        "w": jnp.stack([jax.random.normal(ks[i], (d, d)) * 0.3
+                        for i in range(L)]),
+        "b": jnp.stack([jax.random.normal(ks[L + i], (d,)) * 0.1
+                        for i in range(L)]),
+    }
+
+
+def test_stack_stages_shapes():
+    params = {"w": jnp.zeros((8, 4, 4)), "b": jnp.zeros((8, 4))}
+    staged = stack_stages(params, 4)
+    assert staged["w"].shape == (4, 2, 4, 4)
+    assert staged["b"].shape == (4, 2, 4)
+    try:
+        stack_stages(params, 3)
+        raise AssertionError("expected ValueError for indivisible stack")
+    except ValueError:
+        pass
+
+
+def test_gpipe_forward_matches_sequential():
+    """8 layers over 4 stages, 16 rows in 8 microbatches (M > S: the
+    steady-state pipeline, not just the fill/drain edges)."""
+    mesh = _pipe_mesh(4)
+    L, d, B, M = 8, 16, 16, 8
+    params = _mlp_stack(L, d, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, d))
+
+    ref = sequential_apply(_mlp_layer, params, x)
+    out = jax.jit(lambda p, x: gpipe_apply(
+        _mlp_layer, p, x, mesh, n_microbatches=M))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gpipe_8_stages_m_equals_s():
+    """All 8 devices as stages, M == S (pure fill/drain schedule)."""
+    mesh = _pipe_mesh(8)
+    L, d, B, M = 8, 8, 8, 8
+    params = _mlp_stack(L, d, jax.random.PRNGKey(2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, d))
+    ref = sequential_apply(_mlp_layer, params, x)
+    out = jax.jit(lambda p, x: gpipe_apply(
+        _mlp_layer, p, x, mesh, n_microbatches=M))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gpipe_gradients_match_sequential():
+    """jax.grad through the pipeline (reverse pipeline via AD transposes of
+    scan + ppermute) equals the sequential stack's gradients."""
+    mesh = _pipe_mesh(4)
+    L, d, B, M = 4, 8, 8, 4
+    params = _mlp_stack(L, d, jax.random.PRNGKey(4))
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, d))
+    tgt = jax.random.normal(jax.random.PRNGKey(6), (B, d))
+
+    def loss_pipe(p):
+        y = gpipe_apply(_mlp_layer, p, x, mesh, n_microbatches=M)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_seq(p):
+        y = sequential_apply(_mlp_layer, p, x)
+        return jnp.mean((y - tgt) ** 2)
+
+    gp = jax.jit(jax.grad(loss_pipe))(params)
+    gs = jax.jit(jax.grad(loss_seq))(params)
+    np.testing.assert_allclose(float(jax.jit(loss_pipe)(params)),
+                               float(jax.jit(loss_seq)(params)), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gpipe_real_bert_layer():
+    """The actual BertLayer (models/lxmert.py) as the pipelined body: an
+    8-layer stack over 4 stages matches the sequential stack, attention
+    bias broadcast as `extra`."""
+    from xggm_tpu.config import tiny_test_config
+    from xggm_tpu.models.lxmert import BertLayer
+
+    cfg = tiny_test_config().lxmert.bert
+    layer = BertLayer(cfg, jnp.float32)
+    B, Lseq, d, Lstack, M = 8, 12, cfg.hidden_size, 8, 4
+    mesh = _pipe_mesh(4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, Lseq, d))
+    # batch-independent bias ([1,1,1,L]): `extra` broadcasts unsliced to
+    # every microbatch, so it must not carry a batch dim
+    mask = np.zeros((1, 1, 1, Lseq), np.float32)
+    mask[:, :, :, 10:] = -10000.0
+    bias = jnp.asarray(mask)
+
+    stacked = jax.tree.map(
+        lambda *ls: jnp.stack(ls),
+        *[layer.init(jax.random.PRNGKey(10 + i), x[:1], bias, True)
+          for i in range(Lstack)])
+
+    def apply_one(p, h, b):
+        return layer.apply(p, h, b, True)
+
+    ref = sequential_apply(apply_one, stacked, x, extra=bias)
+    out = jax.jit(lambda p, h: gpipe_apply(
+        apply_one, p, h, mesh, n_microbatches=M, extra=bias))(stacked, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gpipe_stage_weight_placement():
+    """Each stage's weights live only on its device: the staged leaves are
+    P('pipe')-sharded, one stage slice per device."""
+    from jax.sharding import NamedSharding
+
+    mesh = _pipe_mesh(4)
+    L, d = 8, 16
+    params = _mlp_stack(L, d, jax.random.PRNGKey(7))
+    staged = stack_stages(params, 4)
+    placed = jax.device_put(staged, NamedSharding(mesh, P("pipe")))
+    leaf = placed["w"]
+    assert leaf.shape == (4, 2, d, d)
+    assert leaf.addressable_shards[0].data.shape == (1, 2, d, d)
+    assert len({s.device for s in leaf.addressable_shards}) == 4

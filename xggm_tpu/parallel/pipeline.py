@@ -1,0 +1,149 @@
+"""GPipe-style pipeline parallelism over a homogeneous layer stack.
+
+The reference tops out at single-process DataParallel (src/lxrt/entry.py:
+103-104); the framework already goes beyond it with data parallelism,
+tensor parallelism (parallel/mesh.param_shardings) and ZeRO optimizer-state
+sharding (zero_state_shardings). This module adds the remaining classic
+axis - PIPELINE parallelism - as a generic runner for homogeneous
+[L, ...]-stacked layer parameters (the layout the `stacked_layers` opt-in
+in models/lxmert.py produces): scale headroom for stacks whose *weights*
+outgrow a chip, where TP's per-layer collectives would saturate ICI.
+
+TPU-native design (shard_map + collectives, no per-device control flow):
+
+  * the stack's S = mesh.shape[axis] stages each hold L/S consecutive
+    layers' params - leaves reshape [L, ...] -> [S, L/S, ...] and shard
+    P(axis) on the leading dim, so each stage's weights live only on its
+    device;
+  * the batch splits into M microbatches; a `lax.scan` over M + S - 1
+    pipeline ticks runs each stage on its current microbatch and hands the
+    activation to the next stage with `lax.ppermute` over ICI;
+  * at tick t, stage s processes microbatch t - s; the first stage injects
+    fresh microbatches, the last stage collects outputs. Bubble fraction is
+    the textbook (S - 1) / (M + S - 1) - pick M >> S;
+  * everything is differentiable (scan + ppermute + dynamic-update have
+    exact transposes), so `jax.grad` through `gpipe_apply` yields the same
+    gradients as the sequential stack - the backward pass runs as the
+    reverse pipeline that AD derives.
+
+Microbatching is exact for per-example layers (attention/MLP/LayerNorm act
+row-wise), so the pipeline output equals the sequential full-batch output
+to float tolerance; tests/test_pipeline.py pins forward and gradients, with
+the real BertLayer among the bodies.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+Array = jax.Array
+
+
+def stack_stages(stacked_params: Any, n_stages: int) -> Any:
+    """[L, ...] leaves -> [S, L/S, ...] (stage-major) for P(axis) sharding."""
+
+    def reshape(leaf):
+        L = leaf.shape[0]
+        if L % n_stages:
+            raise ValueError(f"stack length {L} not divisible by "
+                             f"{n_stages} pipeline stages")
+        return leaf.reshape(n_stages, L // n_stages, *leaf.shape[1:])
+
+    return jax.tree.map(reshape, stacked_params)
+
+
+def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
+                stacked_params: Any, x: Array, mesh: Mesh, *,
+                axis: str = "pipe", n_microbatches: int,
+                extra: Any = None) -> Array:
+    """Run x through L stacked layers, pipelined over mesh axis `axis`.
+
+    layer_apply(params_i, x, extra) -> x applies ONE layer (params_i = the
+    [i]-th slice of every stacked leaf); `extra` is broadcast unscanned
+    (e.g. an attention bias). x is [B, ...] with B % n_microbatches == 0.
+    Returns the [B, ...] output of the full stack.
+    """
+    S = mesh.shape[axis]
+    B = x.shape[0]
+    M = n_microbatches
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    staged = stack_stages(stacked_params, S)
+    xm = x.reshape(M, B // M, *x.shape[1:])
+    if extra is None:  # shard_map wants a concrete (possibly empty) pytree
+        extra = jnp.zeros((), x.dtype)
+
+    pspec = jax.tree.map(lambda _: P(axis), staged)
+
+    def run(local_params, xm, extra):
+        s = jax.lax.axis_index(axis)
+        # local view: [1, L/S, ...] -> [L/S, ...]
+        lp = jax.tree.map(lambda a: jnp.squeeze(a, 0), local_params)
+
+        def stage(xin):
+            def f(c, p):
+                return layer_apply(p, c, extra), None
+
+            out, _ = jax.lax.scan(f, xin, lp)
+            return out
+
+        T = M + S - 1
+        mb = xm.shape[1:]
+
+        def tick(carry, t):
+            recv, outbuf = carry
+            # stage 0 injects microbatch t (clipped: past-M ticks feed a
+            # dummy whose result is never consumed downstream in time to
+            # be written - see the write guard below)
+            first_in = xm[jnp.clip(t, 0, M - 1)]
+            cur = jnp.where(s == 0, first_in, recv)
+            y = stage(cur)
+            # the last stage finishes microbatch t-(S-1) at tick t
+            out_idx = jnp.clip(t - (S - 1), 0, M - 1)
+            write = jnp.logical_and(s == S - 1, t >= S - 1)
+            prev = jax.lax.dynamic_index_in_dim(outbuf, out_idx, 0,
+                                                keepdims=False)
+            outbuf = jax.lax.dynamic_update_index_in_dim(
+                outbuf, jnp.where(write, y, prev), out_idx, 0)
+            nxt = jax.lax.ppermute(y, axis,
+                                   [(i, (i + 1) % S) for i in range(S)])
+            return (nxt, outbuf), None
+
+        init = (jnp.zeros(mb, x.dtype), jnp.zeros((M,) + mb, x.dtype))
+        (_, outbuf), _ = jax.lax.scan(tick, init, jnp.arange(T))
+        return outbuf
+
+    # ppermute + axis_index need the replication checker off; the kwarg was
+    # renamed check_rep -> check_vma in jax 0.8
+    import inspect
+
+    kw = ("check_vma" if "check_vma"
+          in inspect.signature(shard_map).parameters else "check_rep")
+    out = shard_map(
+        run, mesh=mesh,
+        in_specs=(pspec, P(), P()),
+        out_specs=P(axis),
+        **{kw: False},
+    )(staged, xm, extra)
+    # out is [S*M, mb, ...]; the last stage's block holds the real outputs
+    return out[-M:].reshape(B, *x.shape[1:])
+
+
+def sequential_apply(layer_apply: Callable[[Any, Array, Any], Array],
+                     stacked_params: Any, x: Array,
+                     extra: Any = None) -> Array:
+    """Reference semantics: the same stack run sequentially (full batch)."""
+
+    def f(c, p):
+        return layer_apply(p, c, extra), None
+
+    out, _ = jax.lax.scan(f, x, stacked_params)
+    return out
