@@ -295,3 +295,43 @@ def test_pretrain_evaluator(corpus):
     acc, per_dset = ev.evaluate(uid2ans)
     assert acc == pytest.approx(1.0)
     assert per_dset.get("vqa") == pytest.approx(1.0)
+
+
+def test_pretrain_zero_sharded_optimizer(corpus, tmp_path):
+    """cfg.train.shard_opt_state through the PRETRAINER: moments land
+    'data'-sharded, the step runs (donation + constraint), and a full epoch
+    trains to completion with checkpoint saves from the sharded state."""
+    import dataclasses
+
+    import jax
+
+    from xggm_tpu.parallel.mesh import make_mesh
+    from xggm_tpu.training.pretrainer import LxmertPretrainer
+
+    root, ds, tok, feat = corpus
+    base = TrainConfig(batch_size=8, lr=1e-4, epochs=1, seed=0)
+    cfg = tiny_test_config(
+        output=str(tmp_path / "zero_out"),
+        train=dataclasses.replace(base, shard_opt_state=True))
+    cfg = cfg.replace(lxmert=cfg.lxmert.replace(dtype="bfloat16"))
+    tr = LxmertPretrainer(cfg, feat, valid_feat=feat, mesh=make_mesh())
+
+    sharded = [leaf for leaf in jax.tree.leaves(tr.state.opt_state.m)
+               if "data" in tuple(getattr(leaf.sharding, "spec", ()) or ())]
+    assert len(sharded) > 20
+    assert (sharded[0].addressable_shards[0].data.size
+            == sharded[0].size // tr.mesh.shape["data"])
+
+    batch, _ = feat.featurize(list(range(8)))
+    state, total, losses, _ = tr.train_step(
+        tr.state, tr._put(batch), jax.random.PRNGKey(3))
+    assert np.isfinite(float(total))
+    # the with_sharding_constraint keeps the ZeRO layout across steps
+    m0 = jax.tree.leaves(state.opt_state.m)[0]
+    assert "data" in tuple(getattr(m0.sharding, "spec", ()) or ())
+    tr.state = state
+
+    best = tr.train()
+    assert np.isfinite(best)
+    assert any(f.startswith("Epoch") or f.startswith("BEST")
+               for f in os.listdir(cfg.output))
