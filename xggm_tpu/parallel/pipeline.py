@@ -63,13 +63,19 @@ def stack_stages(stacked_params: Any, n_stages: int) -> Any:
 def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
                 stacked_params: Any, x: Array, mesh: Mesh, *,
                 axis: str = "pipe", n_microbatches: int,
-                extra: Any = None) -> Array:
+                extra: Any = None, batch_axis: Optional[str] = None) -> Array:
     """Run x through L stacked layers, pipelined over mesh axis `axis`.
 
     layer_apply(params_i, x, extra) -> x applies ONE layer (params_i = the
     [i]-th slice of every stacked leaf); `extra` is broadcast unscanned
     (e.g. an attention bias). x is [B, ...] with B % n_microbatches == 0.
     Returns the [B, ...] output of the full stack.
+
+    batch_axis: optional second mesh axis to ALSO shard each microbatch's
+    rows over (dp x pp on one ('data', 'pipe') mesh): every 'data' slice
+    runs its own pipeline over the same stage weights, and the per-tick
+    ppermute moves only the local activation rows. The weights stay sharded
+    over `axis` only (replicated over `batch_axis`).
     """
     S = mesh.shape[axis]
     B = x.shape[0]
@@ -127,10 +133,14 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
 
     kw = ("check_vma" if "check_vma"
           in inspect.signature(shard_map).parameters else "check_rep")
+    # with a batch_axis, microbatch rows (dim 1 of [M, mb, ...]) shard over
+    # it; stage weights and `extra` stay replicated across it
+    bspec = P(None, batch_axis) if batch_axis else P()
+    ospec = P(axis, batch_axis) if batch_axis else P(axis)
     out = shard_map(
         run, mesh=mesh,
-        in_specs=(pspec, P(), P()),
-        out_specs=P(axis),
+        in_specs=(pspec, bspec, P()),
+        out_specs=ospec,
         **{kw: False},
     )(staged, xm, extra)
     # out is [S*M, mb, ...]; the last stage's block holds the real outputs
