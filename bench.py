@@ -278,6 +278,29 @@ def main():
     hbm = ({"peak_hbm_gb": round(stats["peak_bytes_in_use"] / 2**30, 2)}
            if "peak_bytes_in_use" in stats else {})
 
+    # ---- phase 4 (best-effort): the two non-flagship workloads ----
+    # pretrain (reference lxmert_pretrain.py per-batch work, bs 256) and
+    # test-arm inference (bs 512) via tools/workload_probe.py in a clean
+    # subprocess; on any failure the keys simply don't appear.
+    other = {}
+    try:
+        import subprocess
+        import sys as _sys
+        proc = subprocess.run(
+            [_sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "workload_probe.py"), "--iters", "10"],
+            capture_output=True, text=True, timeout=1500)
+        if proc.returncode == 0:
+            blob = proc.stdout[proc.stdout.index("{"):]
+            probe = json.loads(blob)
+            for k in ("pretrain_sents_per_sec", "pretrain_bs",
+                      "inference_pairs_per_sec", "inference_bs"):
+                if k in probe:
+                    other[k] = probe[k]
+    except Exception:
+        pass
+
     value = round(step_pairs_per_sec, 2)  # per chip; bench runs on one chip
     print(json.dumps({
         "metric": "train_qa_pairs_per_sec_per_chip",
@@ -289,6 +312,7 @@ def main():
         "e2e_host_assembly_pairs_per_sec": round(asm_pairs_per_sec, 2),
         "e2e_batches": n_e2e,
         **hbm,
+        **other,
         "e2e_note": ("e2e is bound by the axon relay's ~15 MB/s host->device "
                      "link in this environment; host assembly outruns the "
                      "step rate, so on a real TPU host (PCIe, GB/s) e2e "
