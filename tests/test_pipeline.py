@@ -155,6 +155,32 @@ def test_gpipe_composes_with_data_parallelism():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_gpipe_per_layer_aux_through_params_tree():
+    """Training-style usage: per-layer aux (dropout seeds here) rides the
+    stacked params tree - the runner scans ANY [L, ...]-leading leaf, so
+    layer i sees its own seed without API changes. Pinned vs sequential."""
+    mesh = _pipe_mesh(4)
+    L, d, B, M = 4, 8, 8, 4
+    base = _mlp_stack(L, d, jax.random.PRNGKey(10))
+    params = dict(base, seed=jnp.arange(L, dtype=jnp.uint32))
+
+    def layer_with_dropout(p, x, _extra):
+        h = jnp.tanh(x @ p["w"] + p["b"])
+        # per-feature mask ([d], broadcast over rows): batch-shape-free, so
+        # the draw is identical whether the layer sees a full batch or a
+        # microbatch (a [batch, d] draw would differ by construction)
+        keep = jax.random.bernoulli(
+            jax.random.PRNGKey(p["seed"]), 0.8, (h.shape[-1],))
+        return jnp.where(keep, h / 0.8, 0.0)
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (B, d))
+    ref = sequential_apply(layer_with_dropout, params, x)
+    out = jax.jit(lambda p, x: gpipe_apply(
+        layer_with_dropout, p, x, mesh, n_microbatches=M))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_gpipe_stage_weight_placement():
     """Each stage's weights live only on its device: the staged leaves are
     P('pipe')-sharded, one stage slice per device."""
