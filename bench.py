@@ -298,8 +298,14 @@ def main():
                       "inference_pairs_per_sec", "inference_bs"):
                 if k in probe:
                     other[k] = probe[k]
-    except Exception:
-        pass
+        else:
+            print("bench phase 4 (workload probe) failed rc="
+                  f"{proc.returncode}: {proc.stderr[-500:]}",
+                  file=_sys.stderr)
+    except Exception as e:  # keep the headline JSON line intact regardless
+        import sys as _sys
+        print(f"bench phase 4 (workload probe) skipped: {e!r}",
+              file=_sys.stderr)
 
     value = round(step_pairs_per_sec, 2)  # per chip; bench runs on one chip
     print(json.dumps({

@@ -181,6 +181,35 @@ def test_gpipe_per_layer_aux_through_params_tree():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_gpipe_bf16_layer_with_fp32_input():
+    """A bf16-emitting layer fed fp32 input: both runners cast the input up
+    front (the scan carry needs one dtype), outputs are bf16 and equal."""
+    mesh = _pipe_mesh(4)
+    L, d, B, M = 4, 16, 8, 4
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          _mlp_stack(L, d, jax.random.PRNGKey(12)))
+
+    def bf16_layer(p, x, _extra):
+        return jnp.tanh(x.astype(jnp.bfloat16) @ p["w"] + p["b"])
+
+    x = jax.random.normal(jax.random.PRNGKey(13), (B, d), jnp.float32)
+    ref = sequential_apply(bf16_layer, params, x)
+    out = jax.jit(lambda p, x: gpipe_apply(
+        bf16_layer, p, x, mesh, n_microbatches=M))(params, x)
+    assert ref.dtype == jnp.bfloat16 and out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+    # a shape-changing layer is rejected loudly
+    try:
+        gpipe_apply(lambda p, h, _: h[..., : d // 2], params, x, mesh,
+                    n_microbatches=M)
+        raise AssertionError("expected ValueError for shape change")
+    except ValueError as e:
+        assert "changes the activation shape" in str(e)
+
+
 def test_gpipe_stage_weight_placement():
     """Each stage's weights live only on its device: the staged leaves are
     P('pipe')-sharded, one stage slice per device."""

@@ -316,8 +316,8 @@ def test_pretrain_zero_sharded_optimizer(corpus, tmp_path):
     cfg = cfg.replace(lxmert=cfg.lxmert.replace(dtype="bfloat16"))
     tr = LxmertPretrainer(cfg, feat, valid_feat=feat, mesh=make_mesh())
 
-    sharded = [leaf for leaf in jax.tree.leaves(tr.state.opt_state.m)
-               if "data" in tuple(getattr(leaf.sharding, "spec", ()) or ())]
+    from xggm_tpu.parallel.mesh import axis_sharded_leaves
+    sharded = axis_sharded_leaves(tr.state.opt_state.m, "data")
     assert len(sharded) > 20
     assert (sharded[0].addressable_shards[0].data.size
             == sharded[0].size // tr.mesh.shape["data"])
@@ -327,8 +327,7 @@ def test_pretrain_zero_sharded_optimizer(corpus, tmp_path):
         tr.state, tr._put(batch), jax.random.PRNGKey(3))
     assert np.isfinite(float(total))
     # the with_sharding_constraint keeps the ZeRO layout across steps
-    m0 = jax.tree.leaves(state.opt_state.m)[0]
-    assert "data" in tuple(getattr(m0.sharding, "spec", ()) or ())
+    assert len(axis_sharded_leaves(state.opt_state.m, "data")) == len(sharded)
     tr.state = state
 
     best = tr.train()

@@ -200,6 +200,43 @@ def apply_state_shardings(state, shardings):
     return jax.tree.map(jax.device_put, state, shardings)
 
 
+def maybe_zero_shard_state(state, mesh, param_shardings_tree, enabled: bool):
+    """Validate + apply the ZeRO layout when `enabled`; the single entry
+    point both trainers' _make_state calls (init, --resume and --load all
+    restore the layout through it). Returns (state, shardings-or-None) -
+    feed the shardings to the step builders' `state_shardings=`."""
+    import jax
+
+    if not enabled:
+        return state, None
+    if mesh is None:
+        raise ValueError("shard_opt_state requires a device mesh "
+                         "(--multiGPU)")
+    if jax.process_count() > 1:
+        raise ValueError(
+            "shard_opt_state is single-host-process only: the orbax "
+            "snapshot save (checkpoint/manager.py) needs fully-addressable "
+            "arrays")
+    shardings = zero_state_shardings(state, mesh, param_shardings_tree)
+    return apply_state_shardings(state, shardings), shardings
+
+
+def axis_sharded_leaves(tree, axis: str = "data"):
+    """Leaves whose sharding spec carries `axis` on any dim (axis tuples
+    flattened) - the one spec-inspection idiom for ZeRO assertions."""
+    import jax
+
+    out = []
+    for leaf in jax.tree.leaves(tree):
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None) or ()
+        dims = []
+        for d in spec:
+            dims.extend(d if isinstance(d, (tuple, list)) else (d,))
+        if axis in dims:
+            out.append(leaf)
+    return out
+
+
 def shard_like_params(tree, param_shardings_tree, mesh: Mesh):
     """Shard an optimizer-state tree whose leaves mirror params (m/v moments)
     with the params' shardings; non-mirroring leaves replicate."""

@@ -84,8 +84,20 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
     staged = stack_stages(stacked_params, S)
     xm = x.reshape(M, B // M, *x.shape[1:])
-    if extra is None:  # shard_map wants a concrete (possibly empty) pytree
-        extra = jnp.zeros((), x.dtype)
+    # the scan carry (and output buffers) take the LAYER'S output
+    # shape/dtype - probe it abstractly; a stack is only scannable if each
+    # layer preserves the activation shape, so fail loudly here if not
+    mb_aval = jax.eval_shape(lambda a: a[0], xm)
+    y_aval = jax.eval_shape(
+        layer_apply, jax.tree.map(lambda a: a[0], stacked_params),
+        mb_aval, extra)
+    if y_aval.shape != mb_aval.shape:
+        raise ValueError(
+            f"layer_apply changes the activation shape "
+            f"({mb_aval.shape} -> {y_aval.shape}); a homogeneous stack "
+            f"must preserve it")
+    act_dtype = y_aval.dtype
+    xm = xm.astype(act_dtype)
 
     pspec = jax.tree.map(lambda _: P(axis), staged)
 
@@ -123,7 +135,7 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
                                    [(i, (i + 1) % S) for i in range(S)])
             return (nxt, outbuf), None
 
-        init = (jnp.zeros(mb, x.dtype), jnp.zeros((M,) + mb, x.dtype))
+        init = (jnp.zeros(mb, act_dtype), jnp.zeros((M,) + mb, act_dtype))
         (_, outbuf), _ = jax.lax.scan(tick, init, jnp.arange(T))
         return outbuf
 
@@ -150,7 +162,16 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
 def sequential_apply(layer_apply: Callable[[Any, Array, Any], Array],
                      stacked_params: Any, x: Array,
                      extra: Any = None) -> Array:
-    """Reference semantics: the same stack run sequentially (full batch)."""
+    """Reference semantics: the same stack run sequentially (full batch).
+
+    Mirrors gpipe_apply's activation-dtype handling: a layer that emits a
+    different dtype than it consumes (e.g. fp32 in -> bf16 out) has its
+    input cast up front so the scan carry is consistent - layer 0 then sees
+    the same dtype later layers do, in both runners."""
+    y_aval = jax.eval_shape(
+        layer_apply, jax.tree.map(lambda a: a[0], stacked_params),
+        jax.eval_shape(lambda a: a, x), extra)
+    x = x.astype(y_aval.dtype)
 
     def f(c, p):
         return layer_apply(p, c, extra), None

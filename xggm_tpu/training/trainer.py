@@ -130,15 +130,6 @@ class XGGMTrainer:
             psh = param_shardings(self.params, self.mesh)
             self.params = jax.tree.map(jax.device_put, self.params, psh)
             self._param_shardings = psh
-        if cfg.train.shard_opt_state:
-            if self.mesh is None:
-                raise ValueError("shard_opt_state requires a device mesh "
-                                 "(--multiGPU)")
-            if jax.process_count() > 1:
-                raise ValueError(
-                    "shard_opt_state is single-host-process only: the orbax "
-                    "snapshot save (checkpoint/manager.py) needs fully-"
-                    "addressable arrays")
         self.state = self._make_state(self.params)
 
         ssh = self._state_shardings
@@ -197,18 +188,15 @@ class XGGMTrainer:
 
         use_shadow = (self.cfg.train.bf16_params
                       and self.cfg.lxmert.dtype == "bfloat16")
+        from xggm_tpu.parallel.mesh import maybe_zero_shard_state
+
         state = TrainState(
             params,
             self.tx.init(params) if opt_state is None else opt_state,
             bf16_param_shadow(params) if use_shadow else None)
-        self._state_shardings = None
-        if self.cfg.train.shard_opt_state:
-            from xggm_tpu.parallel.mesh import (
-                apply_state_shardings, zero_state_shardings)
-
-            self._state_shardings = zero_state_shardings(
-                state, self.mesh, self._param_shardings)
-            state = apply_state_shardings(state, self._state_shardings)
+        state, self._state_shardings = maybe_zero_shard_state(
+            state, self.mesh, self._param_shardings,
+            self.cfg.train.shard_opt_state)
         return state
 
     def _init_params(self):
