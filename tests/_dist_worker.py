@@ -80,6 +80,59 @@ def main():
     assert m1.tolist() == [True] * 2 + [False] * 6
     np.testing.assert_array_equal(to_host(b1["feats"])[:2], feats[8:10])
 
+    # --- multi-host ZeRO: cross-process-sharded optimizer state is
+    # steppable, checkpointable (collective allgather snapshot), and
+    # restorable back onto the sharded layout ---
+    zero_dir = os.environ.get("XGGM_DW_ZERO_DIR")
+    if zero_dir:
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from xggm_tpu.checkpoint.manager import CheckpointManager
+        from xggm_tpu.parallel.mesh import (
+            axis_sharded_leaves, maybe_zero_shard_state)
+        from xggm_tpu.training.bert_adam import bert_adam
+        from xggm_tpu.training.steps import (
+            TrainState, _clip_update_apply, _constrain_state)
+
+        params = {"w": jnp.full((16, 8), 0.5, jnp.float32),
+                  "b": jnp.zeros((8,), jnp.float32)}
+        psh = jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+        params = jax.tree.map(jax.device_put, params, psh)
+        tx = bert_adam(lr=1e-2, warmup=0.1, t_total=100)
+        state = TrainState(params, tx.init(params))
+        state, ssh = maybe_zero_shard_state(state, mesh, psh, True)
+        m_w = state.opt_state.m["w"]
+        assert not m_w.is_fully_addressable  # spans both processes
+        assert len(axis_sharded_leaves(state.opt_state.m, "data")) == 2
+
+        @jax.jit
+        def step(state, grads):
+            state = _clip_update_apply(tx, grads, state, 5.0)
+            return _constrain_state(state, ssh)
+
+        grads = jax.tree.map(jnp.ones_like, params)
+        state = step(state, grads)
+        state = step(state, grads)
+        w_after = to_host(state.params["w"])
+
+        ckpt = CheckpointManager(zero_dir)
+        ckpt.save("ZERO", {"params": state.params,
+                           "opt_state": state.opt_state}, block=True)
+        restored = ckpt.load("ZERO", like={"params": state.params,
+                                           "opt_state": state.opt_state})
+        np.testing.assert_array_equal(restored["params"]["w"], w_after)
+        # re-place the restored host arrays back onto the ZeRO layout
+        state2 = TrainState(
+            jax.tree.map(jax.device_put, restored["params"], psh),
+            restored["opt_state"])
+        state2, _ = maybe_zero_shard_state(state2, mesh, psh, True)
+        assert not state2.opt_state.m["w"].is_fully_addressable
+        state2 = step(state2, grads)
+        np.testing.assert_array_equal(
+            to_host(state2.opt_state.count), 3)
+        print("ZERO_OK", ppid, flush=True)
+
     print("WORKER_OK", ppid, flush=True)
 
 

@@ -192,10 +192,7 @@ def test_two_process_pretrain_cli(tmp_path):
     assert os.path.exists(os.path.join(output, "BEST_EVAL_LOSS"))
 
 
-def test_two_process_cpu():
-    """Two real processes, 4 virtual CPU devices each: distributed init,
-    8-device hybrid mesh, per-process feeding, a cross-process collective,
-    cross-process fetch, and the Feeder multi-process path."""
+def _run_dist_workers(extra_env=None, timeout=300):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -203,6 +200,7 @@ def test_two_process_cpu():
     worker = os.path.join(HERE, "_dist_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS",)}  # workers set their own device count
+    env.update(extra_env or {})
     procs = [subprocess.Popen(
         [sys.executable, worker, coordinator, "2", str(i)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
@@ -210,7 +208,7 @@ def test_two_process_cpu():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -219,3 +217,23 @@ def test_two_process_cpu():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"WORKER_OK {i}" in out, out[-4000:]
+    return outs
+
+
+def test_two_process_cpu():
+    """Two real processes, 4 virtual CPU devices each: distributed init,
+    8-device hybrid mesh, per-process feeding, a cross-process collective,
+    cross-process fetch, and the Feeder multi-process path."""
+    _run_dist_workers()
+
+
+def test_two_process_zero_sharded_state(tmp_path):
+    """Multi-host ZeRO: optimizer state sharded ACROSS the two processes
+    (non-addressable leaves), stepped under the layout constraint,
+    checkpointed through the collective allgather snapshot, and restored
+    back onto the sharded layout."""
+    outs = _run_dist_workers(
+        extra_env={"XGGM_DW_ZERO_DIR": str(tmp_path / "zero_ckpt")},
+        timeout=420)
+    for i, out in enumerate(outs):
+        assert f"ZERO_OK {i}" in out, out[-4000:]

@@ -47,10 +47,19 @@ class CheckpointManager:
         # VIEW of the device buffer (np.shares_memory confirms) - a later
         # donated train step may reuse that buffer mid-commit. One host
         # memcpy per leaf is trivial next to the disk write.
+        # Cross-process-sharded leaves (multi-host ZeRO optimizer state)
+        # go through to_host's process_allgather - a COLLECTIVE, which is
+        # safe because every process calls save() in lockstep (saves are
+        # deliberately not process-0-gated) and jax.tree.map traverses in
+        # one deterministic order.
         import numpy as np
 
+        from xggm_tpu.parallel.distributed import to_host
+
         def _host_copy(x):
-            y = x if isinstance(x, np.ndarray) else jax.device_get(x)
+            if isinstance(x, np.ndarray):
+                return x.copy()
+            y = to_host(x) if hasattr(x, "sharding") else jax.device_get(x)
             return y.copy() if isinstance(y, np.ndarray) else y
 
         snapshot = jax.tree.map(_host_copy, state)
@@ -67,6 +76,17 @@ class CheckpointManager:
         self.wait()
         path = self._path(name)
         if like is not None:
+            # cross-process-sharded template leaves can't device_get; their
+            # shape/dtype is all the restore needs (callers re-place the
+            # restored host arrays through _make_state / device_put)
+            import numpy as np
+
+            def _template(x):
+                if getattr(x, "is_fully_addressable", True):
+                    return x
+                return np.zeros(x.shape, x.dtype)
+
+            like = jax.tree.map(_template, like)
             return self._ckptr.restore(path, target=jax.device_get(like))
         return self._ckptr.restore(path)
 

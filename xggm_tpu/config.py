@@ -166,8 +166,9 @@ class TrainConfig:
     # per optimizer step for an ~(12/N + 2)-bytes-per-param HBM footprint
     # (vs 14 replicated). Scale-out knob for models whose optimizer state
     # outgrows a chip; no reference counterpart (its DataParallel keeps all
-    # gradient math on device 0). Requires a mesh; single-host processes
-    # only (orbax snapshot saves need fully-addressable arrays).
+    # gradient math on device 0). Requires a mesh; works multi-host too
+    # (checkpoint snapshots allgather the cross-process shards -
+    # checkpoint/manager.py, tests/test_distributed.py).
     shard_opt_state: bool = False
 
 

@@ -212,11 +212,9 @@ def maybe_zero_shard_state(state, mesh, param_shardings_tree, enabled: bool):
     if mesh is None:
         raise ValueError("shard_opt_state requires a device mesh "
                          "(--multiGPU)")
-    if jax.process_count() > 1:
-        raise ValueError(
-            "shard_opt_state is single-host-process only: the orbax "
-            "snapshot save (checkpoint/manager.py) needs fully-addressable "
-            "arrays")
+    # multi-host is supported: the checkpoint snapshot allgathers
+    # cross-process-sharded leaves (checkpoint/manager.py -> to_host), and
+    # restore re-places host arrays through this same call
     shardings = zero_state_shardings(state, mesh, param_shardings_tree)
     return apply_state_shardings(state, shardings), shardings
 
