@@ -292,7 +292,11 @@ def main():
                           "tools", "workload_probe.py"), "--iters", "10"],
             capture_output=True, text=True, timeout=1500)
         if proc.returncode == 0:
-            blob = proc.stdout[proc.stdout.index("{"):]
+            # the probe prints one compact JSON line; take the LAST line
+            # starting with '{' so stray stdout (library warnings, future
+            # prints) before or after it can't break the parse
+            blob = [ln for ln in proc.stdout.splitlines()
+                    if ln.lstrip().startswith("{")][-1]
             probe = json.loads(blob)
             for k in ("pretrain_sents_per_sec", "pretrain_bs",
                       "inference_pairs_per_sec", "inference_bs"):

@@ -187,3 +187,46 @@ def test_feeder_surfaces_producer_errors(data_root, tokenizer):
     with pytest.raises(RuntimeError, match="producer thread failed"):
         for _ in feeder:
             pass
+
+
+def test_prefetcher_pull_api(data_root, tokenizer):
+    """Reference DataPrefetcher semantics (src/tools/data_loader.py:13-31):
+    eager one-batch lookahead, .next() pulls, None once exhausted."""
+    from xggm_tpu.data.feeder import Prefetcher
+
+    cfg = DataConfig(data_root=data_root)
+    gbd = GraphBatchDataset(GQADataset("train", cfg), tokenizer)
+    feeder = Feeder(gbd, batch_size=8, shuffle=False, drop_last=True)
+    pf = Prefetcher(feeder)
+    seen = []
+    while True:
+        item = pf.next()
+        if item is None:
+            break
+        seen.append(item[0])
+    assert len(seen) == len(feeder) == 3
+    assert pf.next() is None  # stays exhausted
+    # same batches, same order as plain iteration
+    assert seen == [qids for qids, _, _ in
+                    Feeder(gbd, batch_size=8, shuffle=False, drop_last=True)]
+
+
+def test_multi_epochs_feeder(data_root, tokenizer):
+    """Reference MultiEpochsDataLoader semantics (src/tools/data_loader.py:
+    34-56): one persistent producer streams across epochs; each __iter__
+    yields exactly one epoch, and per-epoch ordering matches the plain
+    Feeder's (seed + epoch shuffle stream)."""
+    from xggm_tpu.data.feeder import MultiEpochsFeeder
+
+    cfg = DataConfig(data_root=data_root)
+    gbd = GraphBatchDataset(GQADataset("train", cfg), tokenizer)
+    mef = MultiEpochsFeeder(gbd, batch_size=8, shuffle=True, seed=3)
+    e1 = [qids for qids, _, _ in mef]
+    thread_after_e1 = mef._thread
+    e2 = [qids for qids, _, _ in mef]
+    assert len(e1) == len(e2) == len(mef) == 3
+    assert e1 != e2  # shuffle advances across epochs
+    assert mef._thread is thread_after_e1  # no per-epoch thread respawn
+    ref = Feeder(gbd, batch_size=8, shuffle=True, seed=3)
+    assert e1 == [qids for qids, _, _ in ref]
+    assert e2 == [qids for qids, _, _ in ref]

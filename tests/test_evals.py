@@ -281,3 +281,37 @@ def test_tail_size_sweep_and_plot(tmp_path):
     out = plot_tail([a + 1 for a in alphas], accs, "t",
                     out_path=str(tmp_path / "tail.pdf"))
     assert os.path.exists(out)
+
+
+def test_plot_tail_smoke(tmp_path):
+    """§2.6 plot_tail (reference eval/gqa_ood/plot_tail.py:8-37): produces
+    a file, log-x axis, one line per model call."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    from xggm_tpu.evals.plot_tail import plot_tail
+
+    alphas = [1.2, 1.5, 2.0, 3.0, 5.0, 9.0]
+    accs = [38.0, 41.5, 45.0, 48.2, 51.0, 53.5]
+    # capture the axes plot_tail builds (it closes the figure itself)
+    import matplotlib.pyplot as plt
+
+    captured = {}
+    real_subplots = plt.subplots
+
+    def grab(*a, **kw):
+        fig, ax = real_subplots(*a, **kw)
+        captured["ax"] = ax
+        return fig, ax
+
+    plt.subplots = grab
+    try:
+        out = plot_tail(alphas, accs, model_name="X-GGM",
+                        out_path=str(tmp_path / "tail.pdf"))
+    finally:
+        plt.subplots = real_subplots
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
+    ax = captured["ax"]
+    assert ax.get_xscale() == "log"
+    lines = ax.get_lines()
+    assert len(lines) == 1 and lines[0].get_label() == "X-GGM"
+    assert list(lines[0].get_ydata()) == accs

@@ -223,7 +223,8 @@ def main():
             results["inference_int8_quantized_kernels"] = n_q
             results["inference_int8_bs"] = bs
 
-    print(json.dumps(results, indent=2))
+    # one compact line: bench.py scrapes the last stdout line starting '{'
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -54,7 +54,19 @@ class CheckpointManager:
         # one deterministic order.
         import numpy as np
 
-        from xggm_tpu.parallel.distributed import to_host
+        from xggm_tpu.parallel.distributed import host_barrier, to_host
+
+        if jax.process_count() > 1:
+            # enforce the lockstep contract before entering the per-leaf
+            # allgather collectives below: if a peer process died before
+            # reaching save(), this bounded KV-store barrier fails fast
+            # with a timeout instead of hanging in the collective forever.
+            # The counter keeps barrier ids unique across repeated saves
+            # of the same name (the coordination service consumes an id
+            # once; all processes save in lockstep so counters agree).
+            self._save_seq = getattr(self, "_save_seq", 0) + 1
+            host_barrier(f"ckpt-save:{name}:{self._save_seq}",
+                         timeout_s=600)
 
         def _host_copy(x):
             if isinstance(x, np.ndarray):

@@ -140,3 +140,77 @@ class Feeder:
             yield item
         t.join()
         self._epoch += 1
+
+
+class Prefetcher:
+    """One-batch-lookahead pull API (reference `DataPrefetcher`,
+    src/tools/data_loader.py:13-31: eagerly holds the next batch;
+    `.next()` returns it and preloads, returning None once exhausted).
+
+    The Feeder already overlaps assembly/transfer on its producer thread;
+    this wrapper only reproduces the reference's pull-style calling
+    convention for code written against it."""
+
+    def __init__(self, loader):
+        self._it = iter(loader)
+        self._preload()
+
+    def _preload(self):
+        try:
+            self.batch = next(self._it)
+        except StopIteration:
+            self.batch = None
+
+    def next(self):
+        batch = self.batch
+        if batch is not None:
+            self._preload()
+        return batch
+
+
+class MultiEpochsFeeder(Feeder):
+    """Persistent-stream variant (reference `MultiEpochsDataLoader` +
+    `_RepeatSampler`, src/tools/data_loader.py:34-56): ONE producer thread
+    streams epoch after epoch through one queue, so per-epoch iteration
+    never re-pays worker/thread startup; each `__iter__` yields exactly
+    len(self) batches (one epoch) and leaves the stream running. The
+    per-epoch shuffle stream still advances (seed + epoch), matching
+    Feeder's ordering epoch-for-epoch."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._q = None
+        self._thread = None
+
+    def _producer_loop(self):
+        try:
+            while True:
+                for idx in self._index_batches():
+                    qids = self.dataset.question_ids(idx)
+                    batch = self.dataset.get_batch(idx)
+                    if self.feats_dtype is not None:
+                        batch["feats"] = batch["feats"].astype(
+                            self.feats_dtype)
+                    batch, mask = pad_batch_to(batch, self.batch_size)
+                    self._q.put((qids, self._place(batch), mask))
+                self._epoch += 1
+        except BaseException as e:  # noqa: BLE001 - surfaced in __iter__
+            self._q.put(e)
+
+    def __iter__(self):
+        if self.process_count > 1:
+            raise NotImplementedError(
+                "MultiEpochsFeeder is single-process; use Feeder for "
+                "multi-host runs")
+        if self._thread is None:
+            self._q = queue.Queue(maxsize=self.prefetch_depth)
+            self._thread = threading.Thread(
+                target=self._producer_loop, daemon=True)
+            self._thread.start()
+        for _ in range(len(self)):
+            item = self._q.get()
+            if isinstance(item, BaseException):
+                raise RuntimeError(
+                    "feeder producer thread failed while assembling a "
+                    "batch") from item
+            yield item

@@ -155,7 +155,16 @@ def zero_state_shardings(state, mesh: Mesh, param_shardings_tree):
     """
     import jax
 
+    from xggm_tpu.training.bert_adam import BertAdamState
     from xggm_tpu.training.steps import TrainState, _path_str
+
+    if not isinstance(state.opt_state, BertAdamState):
+        raise TypeError(
+            f"shard_opt_state supports the per-leaf BertAdamState layout "
+            f"only (got {type(state.opt_state).__name__}); the flat "
+            f"single-buffer FlatBertAdamState variant has no ZeRO layout - "
+            f"use the default (unfused) bert_adam with optimizer-state "
+            f"sharding")
 
     data_size = mesh.shape.get("data", 1)
     rep = NamedSharding(mesh, P())

@@ -82,6 +82,12 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
     M = n_microbatches
     if B % M:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    if batch_axis is not None and (B // M) % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"microbatch rows {B}//{M}={B // M} not divisible by mesh axis "
+            f"'{batch_axis}' size {mesh.shape[batch_axis]}; pick "
+            f"n_microbatches so each microbatch splits evenly over the "
+            f"data axis")
     staged = stack_stages(stacked_params, S)
     xm = x.reshape(M, B // M, *x.shape[1:])
     # the scan carry (and output buffers) take the LAYER'S output
