@@ -186,3 +186,61 @@ def test_zero_moment_fallbacks():
     assert _with_data_axis(P("model"), (128,), 4) == P("model")
     assert _with_data_axis(P(), (3, 5), 4) == P(None, None)  # indivisible
     assert _with_data_axis(P(), (), 4) == P()          # scalar
+
+
+def test_zero_trajectory_envelope_bf16_shadow():
+    """The SHIPPING config's parity claim, pinned (was prose in docs/PERF.md
+    / CLAUDE.md): under bf16 compute + param shadow, the ZeRO-sharded
+    trajectory tracks the replicated one within a bounded envelope over
+    multiple steps of both GGM branches.
+
+    Not bit-parity: the reduce-scattered gradient summation order differs
+    between layouts, and Adam's scale-free update (m/(sqrt(v)+eps), lr
+    decoupled from grad scale) amplifies bf16 cotangent rounding to ~1%
+    relative on small leaves. The bound is a per-leaf relative L2 norm
+    (same discipline as tests/test_bf16_shadow._assert_params_close), plus
+    a loss-level check per step."""
+    from jax.sharding import NamedSharding
+
+    cfg, model, batch8, params = _setup(bf16=True)
+    import __graft_entry__ as g
+
+    batch = g._make_batch(np.random.RandomState(3), 8,
+                          cfg.lxmert.bert.vocab_size,
+                          cfg.lxmert.visual.visual_feat_dim, cfg.num_answers)
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    psh = param_shardings(params, mesh, min_model_dim=128)
+    params_host = jax.tree.map(np.asarray, params)
+    data_sh = NamedSharding(mesh, P("data"))
+    batch_m = jax.tree.map(lambda x: jax.device_put(x, data_sh), batch)
+
+    results = {}
+    for zero in (False, True):
+        p = jax.tree.map(jax.device_put, params_host, psh)
+        tx = bert_adam(lr=1e-3, warmup=0.1, t_total=100)
+        state = TrainState(p, tx.init(p), bf16_param_shadow(p))
+        ssh = zero_state_shardings(state, mesh, psh) if zero else None
+        if zero:
+            state = apply_state_shardings(state, ssh)
+        steps = [make_ggm_train_step(model, tx, cfg.train, b,
+                                     state_shardings=ssh)
+                 for b in ("relation", "representation")]
+        losses = []
+        for i in range(4):
+            state, metrics = steps[i % 2](state, batch_m,
+                                          jax.random.PRNGKey(i))
+            losses.append((float(metrics["clean_loss"]),
+                           float(metrics["ggm_loss"])))
+        results[zero] = (state, losses)
+
+    # per-step losses stay within the bf16 envelope
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               rtol=2e-2, atol=1e-3)
+    # final masters: per-leaf relative L2 envelope (~1% small-leaf drift)
+    for a, b in zip(jax.tree.leaves(results[False][0].params),
+                    jax.tree.leaves(results[True][0].params)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        diff = np.linalg.norm(a - b)
+        ref = np.linalg.norm(a)
+        assert diff <= 3e-2 * ref + 2e-5, (diff, ref, a.shape)
