@@ -168,3 +168,24 @@ def test_gqa_ood_cli_end_to_end(tmp_path):
     assert len(preds) > 0
     from xggm_tpu.data.synthetic import ANSWERS
     assert all(r["prediction"] in ANSWERS for r in preds)
+
+
+def test_pp_cli_end_to_end(tmp_path):
+    """--pp through the real CLI: the lang->visn->x encoder runs as a GPipe
+    pipeline over the mesh's 'pipe' axis (parallel/pipeline_lxmert.py),
+    composed with data parallelism on the ONE ('data','model','pipe') mesh.
+    8 virtual CPU devices -> data=4 x pipe=2."""
+    data_root = str(tmp_path / "data")
+    output = str(tmp_path / "snap_pp")
+    out = _run_cli("xggm_tpu.cli.gqa_ood", [
+        "--synthetic", "--device", "cpu", "--multiGPU", "--pp", "2",
+        "--pp_microbatches", "4",
+        "--data_root", data_root, "--output", output,
+        "--llayers", "1", "--xlayers", "1", "--rlayers", "1",
+        "--gnn", "GCN", "--num_layer", "1",
+        "--train", "train", "--valid", "val",
+        "--bs", "16", "--optim", "bert", "--lr", "5e-5", "--epochs", "1"],
+        cwd=REPO, extra_env={"XLA_FLAGS":
+                             "--xla_force_host_platform_device_count=8"})
+    assert "Best valid:" in out
+    assert any(f.startswith("BEST") for f in os.listdir(output))

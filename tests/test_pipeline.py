@@ -207,7 +207,7 @@ def test_gpipe_bf16_layer_with_fp32_input():
                     n_microbatches=M)
         raise AssertionError("expected ValueError for shape change")
     except ValueError as e:
-        assert "changes the activation shape" in str(e)
+        assert "changes the activation tree" in str(e)
 
 
 def test_gpipe_stage_weight_placement():
@@ -224,3 +224,151 @@ def test_gpipe_stage_weight_placement():
     assert leaf.shape == (4, 2, d, d)
     assert leaf.addressable_shards[0].data.shape == (1, 2, d, d)
     assert len({s.device for s in leaf.addressable_shards}) == 4
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous pipeline: the REAL lang->visn->x encoder
+# (parallel/pipeline_lxmert.py; reference modeling.py:559-606)
+# ---------------------------------------------------------------------------
+
+
+def _hetero_setup(pp_stages, dropout=0.0, n_mb=4):
+    import dataclasses
+
+    import __graft_entry__ as g
+    from xggm_tpu.config import tiny_test_config
+    from xggm_tpu.models.task_model import XGGMModel
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(
+        lxmert=cfg.lxmert.replace(
+            stacked_layers=True, pp_stages=pp_stages, pp_microbatches=n_mb,
+            bert=dataclasses.replace(cfg.lxmert.bert,
+                                     hidden_dropout_prob=dropout,
+                                     attention_probs_dropout_prob=dropout)),
+        ggm=dataclasses.replace(cfg.ggm, dropout=dropout))
+    model = XGGMModel(cfg.lxmert, cfg.ggm, cfg.num_answers)
+    rng = np.random.RandomState(0)
+    batch = g._make_batch(rng, 8, cfg.lxmert.bert.vocab_size,
+                          cfg.lxmert.visual.visual_feat_dim, cfg.num_answers)
+    return cfg, model, batch
+
+
+def test_superset_stack_layout():
+    """kind/layer_id sequencing + stage padding of the superset build."""
+    import jax.numpy as jnp
+    from xggm_tpu.models.task_model import XGGMModel
+    from xggm_tpu.parallel.pipeline_lxmert import (
+        KIND_IDENT, KIND_LANG, KIND_VISN, KIND_X, build_superset_stack)
+
+    cfg, model, batch = _hetero_setup(pp_stages=0)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+        batch["feats"], batch["boxes"], batch["adj"], jax.random.PRNGKey(2),
+        method=XGGMModel.init_all)
+    enc = params["params"]["lxrt"]["encoder"]
+    # 2 lang + 1 visn + 1 x = 4 layers; 3 stages pad to 6 with IDENT
+    st = build_superset_stack(enc, n_stages=3)
+    assert list(np.asarray(st["kind"])) == [
+        KIND_LANG, KIND_LANG, KIND_VISN, KIND_X, KIND_IDENT, KIND_IDENT]
+    assert list(np.asarray(st["layer_id"])) == list(range(6))
+    # every slot leaf has the padded leading dim
+    for leaf in jax.tree.leaves(st["slots"]):
+        assert leaf.shape[0] == 6
+    # the lang rows of the lang slots ARE the lang stack's params
+    np.testing.assert_array_equal(
+        np.asarray(st["slots"]["lang_self_att"]["self"]["qkv"]["kernel"][:2]),
+        np.asarray(enc["lang_stack"]["layer"]["attention"]["self"]["qkv"]
+                   ["kernel"]))
+    # cross-attention rows of non-x layers are zero
+    assert float(np.abs(np.asarray(
+        st["slots"]["visual_attention"]["att"]["query"]["kernel"][:3])).max()) == 0
+
+
+def test_hetero_encoder_fwd_and_grad_match_sequential():
+    """Pipelined full-encoder fwd+grad == sequential (<1e-4): the composed
+    clean_forward loss and its parameter gradients agree between the
+    GPipe-scheduled encoder and the stacked sequential one on the same
+    weights (deterministic)."""
+    from jax.sharding import NamedSharding
+    from xggm_tpu.models.task_model import XGGMModel
+    from xggm_tpu.ops.losses import bce_with_logits
+    from xggm_tpu.parallel.mesh import make_mesh
+    from xggm_tpu.parallel.pipeline_lxmert import set_pipeline_mesh
+
+    cfg, model_pp, batch = _hetero_setup(pp_stages=4)
+    model_seq = XGGMModel(cfg.lxmert.replace(pp_stages=0), cfg.ggm,
+                          cfg.num_answers)
+    mesh = make_mesh(n_devices=8, model_parallel=1, pipeline_parallel=4)
+    set_pipeline_mesh(mesh, n_microbatches=4)
+    params = model_seq.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+        batch["feats"], batch["boxes"], batch["adj"], jax.random.PRNGKey(2),
+        method=XGGMModel.init_all)
+    sh = NamedSharding(mesh, P("data"))
+    bm = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    args5 = tuple(bm[k] for k in ("input_ids", "input_mask", "segment_ids",
+                                  "feats", "boxes"))
+
+    def loss(m):
+        def f(p):
+            logits = m.apply(p, *args5, deterministic=True,
+                             method=XGGMModel.clean_forward)
+            return bce_with_logits(logits, bm["target"])
+        return f
+
+    l_seq, g_seq = jax.value_and_grad(loss(model_seq))(params)
+    l_pp, g_pp = jax.jit(jax.value_and_grad(loss(model_pp)))(params)
+    np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_seq), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pp_train_step_parity_vs_dp_only():
+    """VERDICT #2 'Done' check: the full two-phase GGM train step on a
+    dp x pp mesh matches the dp-only run (same model semantics, dropout
+    zeroed so the two paths' different RNG streams can't diverge)."""
+    from jax.sharding import NamedSharding
+    from xggm_tpu.parallel.mesh import make_mesh
+    from xggm_tpu.parallel.pipeline_lxmert import set_pipeline_mesh
+    from xggm_tpu.training.bert_adam import bert_adam
+    from xggm_tpu.training.steps import TrainState, make_ggm_train_step
+    from xggm_tpu.models.task_model import XGGMModel
+
+    cfg, model_pp, batch = _hetero_setup(pp_stages=4, dropout=0.0)
+    model_seq = XGGMModel(cfg.lxmert.replace(pp_stages=0), cfg.ggm,
+                          cfg.num_answers)
+    params0 = model_seq.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+        batch["feats"], batch["boxes"], batch["adj"], jax.random.PRNGKey(2),
+        method=XGGMModel.init_all)
+    params_host = jax.tree.map(np.asarray, params0)
+
+    results = {}
+    for name, model, pp in (("dp", model_seq, 1), ("dp_pp", model_pp, 4)):
+        mesh = make_mesh(n_devices=8, model_parallel=1, pipeline_parallel=pp)
+        if pp > 1:
+            set_pipeline_mesh(mesh, n_microbatches=4)
+        p = jax.device_put(jax.tree.map(jnp.asarray, params_host),
+                           NamedSharding(mesh, P()))
+        tx = bert_adam(lr=1e-3, warmup=0.1, t_total=100)
+        state = TrainState(p, tx.init(p))
+        b = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))),
+            batch)
+        step = make_ggm_train_step(model, tx, cfg.train, "relation")
+        state, m = step(state, b, jax.random.PRNGKey(5))
+        results[name] = ((float(m["clean_loss"]), float(m["ggm_loss"])),
+                         state)
+
+    np.testing.assert_allclose(results["dp_pp"][0], results["dp"][0],
+                               rtol=1e-4)
+    # updated params agree too: gradient parity through the optimizer
+    for a, b in zip(jax.tree.leaves(results["dp"][1].params),
+                    jax.tree.leaves(results["dp_pp"][1].params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)

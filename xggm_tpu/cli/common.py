@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--model_parallel", default=1, type=int)
+    p.add_argument("--pp", dest="pp_stages", default=0, type=int,
+                   help="pipeline-parallel stages: run the lang->visn->x "
+                        "encoder sequence as a GPipe pipeline over a mesh "
+                        "'pipe' axis of this size (requires --multiGPU; "
+                        "implies the stacked-layers param layout)")
+    p.add_argument("--pp_microbatches", default=4, type=int,
+                   help="microbatches per pipelined step (bubble fraction "
+                        "= (S-1)/(M+S-1); per-microbatch rows must divide "
+                        "the data axis)")
     # dead reference flag (param.py:113, dest edge_gnn - never read by any
     # live code path); accepted so reference launch scripts parse unchanged
     p.add_argument("--eg", dest="edge_gnn", default=None)
@@ -163,6 +172,11 @@ def to_config(args: argparse.Namespace, task: str) -> XGGMConfig:
                                 r_layers=args.rlayers),
             dtype=args.dtype,
             remat=getattr(args, "remat", False),
+            # --pp implies the stacked [L, ...] param layout the pipeline's
+            # superset stack is built from (checkpoints interchange)
+            stacked_layers=getattr(args, "pp_stages", 0) > 1,
+            pp_stages=getattr(args, "pp_stages", 0),
+            pp_microbatches=getattr(args, "pp_microbatches", 4),
         ),
         ggm=GGMConfig(gnn=args.gnn, num_layers=args.num_layer,
                       sigma=args.sigma, delta=args.delta),
@@ -213,6 +227,22 @@ def configure_prng(args) -> None:
 def make_mesh_if_requested(args):
     multi_host = getattr(args, "coordinator", None) is not None or \
         getattr(args, "num_hosts", None) is not None
+    pp = getattr(args, "pp_stages", 0)
+    if pp > 1:
+        if multi_host:
+            raise ValueError("--pp composes with --multiGPU single-host "
+                             "meshes; multi-host pipeline stages are not "
+                             "supported (stages must sit on ICI)")
+        if not args.multiGPU:
+            raise ValueError("--pp requires --multiGPU (a device mesh)")
+        from xggm_tpu.parallel.mesh import make_mesh
+        from xggm_tpu.parallel.pipeline_lxmert import set_pipeline_mesh
+
+        mesh = make_mesh(model_parallel=args.model_parallel,
+                         pipeline_parallel=pp)
+        set_pipeline_mesh(mesh, axis="pipe", batch_axis="data",
+                          n_microbatches=getattr(args, "pp_microbatches", 4))
+        return mesh
     if multi_host:
         from xggm_tpu.parallel.distributed import (
             init_distributed, make_hybrid_mesh)

@@ -94,6 +94,16 @@ class LxmertConfig:
     # chip gain of the bigger batch outweighs the recompute (docs/PERF.md
     # batch-scaling table).
     remat: bool = False
+    # Pipeline parallelism (parallel/pipeline_lxmert.py): run the
+    # lang->visn->x layer sequence as a GPipe pipeline over a mesh 'pipe'
+    # axis of this size (0/1 = off). Requires stacked_layers (the [L, ...]
+    # param layout the superset stack is built from) and a process-global
+    # pipeline mesh (parallel.set_pipeline_mesh; the trainers set it when
+    # --pp is given). Scale headroom beyond the reference's DataParallel -
+    # stages hold 1/S of the virtual-layer weights.
+    pp_stages: int = 0
+    # microbatches per pipeline step; bubble fraction = (S-1)/(M+S-1)
+    pp_microbatches: int = 4
 
     @property
     def compute_dtype(self):

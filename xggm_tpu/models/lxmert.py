@@ -379,6 +379,33 @@ class LxmertEncoder(nn.Module):
         visn = VisualFeatEncoder(self.cfg, name="visn_fc")(
             feats, boxes, deterministic)
 
+        if self.cfg.pp_stages > 1 and not self.cfg.stacked_layers:
+            raise ValueError("pp_stages > 1 requires stacked_layers=True "
+                             "(the [L, ...] param layout the pipeline's "
+                             "superset stack is built from)")
+        if self.cfg.pp_stages > 1 and not self.is_initializing():
+            # GPipe over the heterogeneous lang->visn->x sequence
+            # (parallel/pipeline_lxmert.py). Init still runs the stacked
+            # path below - it creates the identical param tree, so
+            # checkpoints interchange between pp and non-pp configs.
+            from xggm_tpu.parallel.pipeline_lxmert import (
+                get_pipeline_context, pipelined_lxr_stack)
+
+            ctx = get_pipeline_context()
+            S = ctx["mesh"].shape[ctx["axis"]]
+            if S != self.cfg.pp_stages:
+                raise ValueError(
+                    f"config.pp_stages={self.cfg.pp_stages} but the "
+                    f"pipeline mesh's '{ctx['axis']}' axis has {S} devices")
+            key = None if deterministic else self.make_rng("dropout")
+            return pipelined_lxr_stack(
+                self.variables["params"], lang, visn, lang_bias, visn_bias,
+                c, dt, mesh=ctx["mesh"], axis=ctx["axis"],
+                batch_axis=ctx["batch_axis"],
+                n_microbatches=ctx["n_microbatches"],
+                deterministic=deterministic, dropout_key=key,
+                remat=self.cfg.remat)
+
         if self.cfg.stacked_layers:
             # scan-over-layers (opt-in; see config.stacked_layers): each
             # stack's params are single [L, ...] leaves - the optimizer

@@ -9,3 +9,7 @@ from xggm_tpu.parallel.distributed import (
 from xggm_tpu.parallel.pipeline import (
     gpipe_apply, sequential_apply, stack_stages,
 )
+from xggm_tpu.parallel.pipeline_lxmert import (
+    build_superset_stack, pipelined_lxr_stack, set_pipeline_mesh,
+    clear_pipeline_mesh,
+)

@@ -28,16 +28,27 @@ Array = jax.Array
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
-              devices: Optional[Sequence[Any]] = None) -> Mesh:
-    """Create a ('data', 'model') mesh over the available devices."""
+              devices: Optional[Sequence[Any]] = None,
+              pipeline_parallel: int = 1) -> Mesh:
+    """Create a ('data', 'model') mesh over the available devices; with
+    pipeline_parallel > 1 a ('data', 'model', 'pipe') mesh whose innermost
+    axis carries the GPipe stages (parallel/pipeline_lxmert.py) - innermost
+    so adjacent stages sit on ICI-adjacent chips for the per-tick
+    ppermute."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    if n % model_parallel != 0:
+    denom = model_parallel * pipeline_parallel
+    if n % denom != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel="
-                         f"{model_parallel}")
+                         f"{model_parallel} x pipeline_parallel="
+                         f"{pipeline_parallel}")
+    if pipeline_parallel > 1:
+        grid = np.asarray(devices).reshape(
+            n // denom, model_parallel, pipeline_parallel)
+        return Mesh(grid, ("data", "model", "pipe"))
     grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, ("data", "model"))
 

@@ -26,6 +26,10 @@ TPU-native design (shard_map + collectives, no per-device control flow):
     gradients as the sequential stack - the backward pass runs as the
     reverse pipeline that AD derives.
 
+The activation may be any PYTREE of [B, ...] arrays (all sharing the same
+leading batch dim): the heterogeneous LXMERT runner (pipeline_lxmert.py)
+carries {hidden, per-example attention biases} through the stages together.
+
 Microbatching is exact for per-example layers (attention/MLP/LayerNorm act
 row-wise), so the pipeline output equals the sequential full-batch output
 to float tolerance; tests/test_pipeline.py pins forward and gradients, with
@@ -60,16 +64,19 @@ def stack_stages(stacked_params: Any, n_stages: int) -> Any:
     return jax.tree.map(reshape, stacked_params)
 
 
-def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
-                stacked_params: Any, x: Array, mesh: Mesh, *,
+def gpipe_apply(layer_apply: Callable[[Any, Any, Any], Any],
+                stacked_params: Any, x: Any, mesh: Mesh, *,
                 axis: str = "pipe", n_microbatches: int,
-                extra: Any = None, batch_axis: Optional[str] = None) -> Array:
+                extra: Any = None, batch_axis: Optional[str] = None) -> Any:
     """Run x through L stacked layers, pipelined over mesh axis `axis`.
 
     layer_apply(params_i, x, extra) -> x applies ONE layer (params_i = the
     [i]-th slice of every stacked leaf); `extra` is broadcast unscanned
-    (e.g. an attention bias). x is [B, ...] with B % n_microbatches == 0.
-    Returns the [B, ...] output of the full stack.
+    (e.g. a replicated constant). x is a pytree of [B, ...] arrays sharing
+    the batch dim, with B % n_microbatches == 0; the layer must preserve
+    the pytree structure and shapes (leaves it doesn't transform - e.g.
+    per-example attention biases - simply pass through). Returns the
+    [B, ...]-leaved output pytree of the full stack.
 
     batch_axis: optional second mesh axis to ALSO shard each microbatch's
     rows over (dp x pp on one ('data', 'pipe') mesh): every 'data' slice
@@ -78,7 +85,13 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
     over `axis` only (replicated over `batch_axis`).
     """
     S = mesh.shape[axis]
-    B = x.shape[0]
+    x_leaves = jax.tree.leaves(x)
+    if not x_leaves:
+        raise ValueError("gpipe_apply needs at least one activation leaf")
+    B = x_leaves[0].shape[0]
+    if any(leaf.shape[0] != B for leaf in x_leaves):
+        raise ValueError("all activation leaves must share the leading "
+                         f"batch dim (got {[l.shape for l in x_leaves]})")
     M = n_microbatches
     if B % M:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
@@ -89,21 +102,24 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
             f"n_microbatches so each microbatch splits evenly over the "
             f"data axis")
     staged = stack_stages(stacked_params, S)
-    xm = x.reshape(M, B // M, *x.shape[1:])
+    xm = jax.tree.map(lambda a: a.reshape(M, B // M, *a.shape[1:]), x)
     # the scan carry (and output buffers) take the LAYER'S output
     # shape/dtype - probe it abstractly; a stack is only scannable if each
-    # layer preserves the activation shape, so fail loudly here if not
-    mb_aval = jax.eval_shape(lambda a: a[0], xm)
+    # layer preserves the activation tree, so fail loudly here if not
+    mb_aval = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), xm)
     y_aval = jax.eval_shape(
         layer_apply, jax.tree.map(lambda a: a[0], stacked_params),
         mb_aval, extra)
-    if y_aval.shape != mb_aval.shape:
+    if (jax.tree.structure(y_aval) != jax.tree.structure(mb_aval)
+            or [a.shape for a in jax.tree.leaves(y_aval)]
+            != [a.shape for a in jax.tree.leaves(mb_aval)]):
         raise ValueError(
-            f"layer_apply changes the activation shape "
-            f"({mb_aval.shape} -> {y_aval.shape}); a homogeneous stack "
-            f"must preserve it")
-    act_dtype = y_aval.dtype
-    xm = xm.astype(act_dtype)
+            f"layer_apply changes the activation tree "
+            f"({jax.tree.map(lambda a: a.shape, mb_aval)} -> "
+            f"{jax.tree.map(lambda a: a.shape, y_aval)}); a homogeneous "
+            f"stack must preserve it")
+    xm = jax.tree.map(lambda a, y: a.astype(y.dtype), xm, y_aval)
 
     pspec = jax.tree.map(lambda _: P(axis), staged)
 
@@ -120,29 +136,37 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
             return out
 
         T = M + S - 1
-        mb = xm.shape[1:]
+        perm = [(i, (i + 1) % S) for i in range(S)]
 
         def tick(carry, t):
             recv, outbuf = carry
             # stage 0 injects microbatch t (clipped: past-M ticks feed a
             # dummy whose result is never consumed downstream in time to
             # be written - see the write guard below)
-            first_in = xm[jnp.clip(t, 0, M - 1)]
-            cur = jnp.where(s == 0, first_in, recv)
+            mb_t = jnp.clip(t, 0, M - 1)
+            cur = jax.tree.map(
+                lambda a, r: jnp.where(s == 0, a[mb_t], r), xm, recv)
             y = stage(cur)
             # the last stage finishes microbatch t-(S-1) at tick t
             out_idx = jnp.clip(t - (S - 1), 0, M - 1)
             write = jnp.logical_and(s == S - 1, t >= S - 1)
-            prev = jax.lax.dynamic_index_in_dim(outbuf, out_idx, 0,
-                                                keepdims=False)
-            outbuf = jax.lax.dynamic_update_index_in_dim(
-                outbuf, jnp.where(write, y, prev), out_idx, 0)
-            nxt = jax.lax.ppermute(y, axis,
-                                   [(i, (i + 1) % S) for i in range(S)])
+
+            def upd(buf, yl):
+                prev = jax.lax.dynamic_index_in_dim(buf, out_idx, 0,
+                                                    keepdims=False)
+                return jax.lax.dynamic_update_index_in_dim(
+                    buf, jnp.where(write, yl, prev), out_idx, 0)
+
+            outbuf = jax.tree.map(upd, outbuf, y)
+            nxt = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), y)
             return (nxt, outbuf), None
 
-        init = (jnp.zeros(mb, act_dtype), jnp.zeros((M,) + mb, act_dtype))
-        (_, outbuf), _ = jax.lax.scan(tick, init, jnp.arange(T))
+        mb_zero = jax.tree.map(
+            lambda a: jnp.zeros(a.shape[1:], a.dtype), xm)
+        buf_zero = jax.tree.map(
+            lambda a: jnp.zeros((M,) + a.shape[1:], a.dtype), xm)
+        (_, outbuf), _ = jax.lax.scan(tick, (mb_zero, buf_zero),
+                                      jnp.arange(T))
         return outbuf
 
     # ppermute + axis_index need the replication checker off; the kwarg was
@@ -153,21 +177,26 @@ def gpipe_apply(layer_apply: Callable[[Any, Array, Any], Array],
           in inspect.signature(shard_map).parameters else "check_rep")
     # with a batch_axis, microbatch rows (dim 1 of [M, mb, ...]) shard over
     # it; stage weights and `extra` stay replicated across it
-    bspec = P(None, batch_axis) if batch_axis else P()
-    ospec = P(axis, batch_axis) if batch_axis else P(axis)
+    bs = P(None, batch_axis) if batch_axis else P()
+    os_ = P(axis, batch_axis) if batch_axis else P(axis)
+    bspec = jax.tree.map(lambda _: bs, xm)
+    ospec = jax.tree.map(lambda _: os_, xm)
+    espec = jax.tree.map(lambda _: P(), extra)
     out = shard_map(
         run, mesh=mesh,
-        in_specs=(pspec, bspec, P()),
+        in_specs=(pspec, bspec, espec),
         out_specs=ospec,
         **{kw: False},
     )(staged, xm, extra)
-    # out is [S*M, mb, ...]; the last stage's block holds the real outputs
-    return out[-M:].reshape(B, *x.shape[1:])
+    # out leaves are [S*M, mb, ...]; the last stage's block holds the real
+    # outputs
+    return jax.tree.map(
+        lambda a, xl: a[-M:].reshape(B, *xl.shape[1:]), out, x)
 
 
-def sequential_apply(layer_apply: Callable[[Any, Array, Any], Array],
-                     stacked_params: Any, x: Array,
-                     extra: Any = None) -> Array:
+def sequential_apply(layer_apply: Callable[[Any, Any, Any], Any],
+                     stacked_params: Any, x: Any,
+                     extra: Any = None) -> Any:
     """Reference semantics: the same stack run sequentially (full batch).
 
     Mirrors gpipe_apply's activation-dtype handling: a layer that emits a
@@ -176,8 +205,9 @@ def sequential_apply(layer_apply: Callable[[Any, Array, Any], Array],
     the same dtype later layers do, in both runners."""
     y_aval = jax.eval_shape(
         layer_apply, jax.tree.map(lambda a: a[0], stacked_params),
-        jax.eval_shape(lambda a: a, x), extra)
-    x = x.astype(y_aval.dtype)
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), x),
+        extra)
+    x = jax.tree.map(lambda a, y: a.astype(y.dtype), x, y_aval)
 
     def f(c, p):
         return layer_apply(p, c, extra), None

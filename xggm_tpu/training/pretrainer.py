@@ -35,6 +35,14 @@ class LxmertPretrainer:
         self.train_feat = train_feat
         self.valid_feat = valid_feat
         self.mesh = mesh
+        if cfg.lxmert.pp_stages > 1:
+            if mesh is None:
+                raise ValueError("pp_stages > 1 requires a device mesh "
+                                 "with a 'pipe' axis (make_mesh("
+                                 "pipeline_parallel=N))")
+            from xggm_tpu.parallel.pipeline_lxmert import set_pipeline_mesh
+            set_pipeline_mesh(mesh, axis="pipe", batch_axis="data",
+                              n_microbatches=cfg.lxmert.pp_microbatches)
         self.output = cfg.output
         os.makedirs(self.output, exist_ok=True)
 

@@ -55,6 +55,16 @@ class XGGMTrainer:
         self.cfg = cfg
         self.task = task
         self.mesh = mesh
+        if cfg.lxmert.pp_stages > 1:
+            # library entry (the CLI already did this): register the
+            # pipeline mesh before any step is built/traced
+            if mesh is None:
+                raise ValueError("pp_stages > 1 requires a device mesh "
+                                 "with a 'pipe' axis (make_mesh("
+                                 "pipeline_parallel=N))")
+            from xggm_tpu.parallel.pipeline_lxmert import set_pipeline_mesh
+            set_pipeline_mesh(mesh, axis="pipe", batch_axis="data",
+                              n_microbatches=cfg.lxmert.pp_microbatches)
         # bf16 compute -> ship bf16 visual features (halves the dominant
         # host->device transfer; the model casts them on entry regardless)
         import jax.numpy as jnp
