@@ -311,6 +311,47 @@ def main():
         print(f"bench phase 4 (workload probe) skipped: {e!r}",
               file=_sys.stderr)
 
+    # ---- phase 5 (best-effort): batch-size scaling sweep ----
+    # The bs 96 recipe is the reference's (script/gqa_ood.sh); larger
+    # batches amortize the optimizer cost (docs/PERF.md batch-scaling
+    # table). Measured via tools/perf_probe.py full-step variant in clean
+    # subprocesses. `--prng rbg` is hard-coded: threefry dropout masks cost
+    # ~40 ms at bs 192+, so a sweep without it reads as a fake regression
+    # (CLAUDE.md round-3 trap). Probe numbers run ~9% above the bench loop
+    # (different sync cadence) - bs 96 is probed too as a same-basis anchor.
+    batch_scaling = {}
+    for sweep_bs in (96, 192, 384):
+        try:
+            import subprocess
+            import sys as _sys
+            proc = subprocess.run(
+                [_sys.executable,
+                 os.path.join(HERE, "tools", "perf_probe.py"),
+                 "--variants", "step", "--prng", "rbg",
+                 "--bs", str(sweep_bs), "--iters", "12"],
+                capture_output=True, text=True, timeout=1800)
+            if proc.returncode == 0:
+                # perf_probe ends with a (possibly multi-line) JSON object;
+                # parse from the LAST line that opens one
+                lines = proc.stdout.splitlines()
+                start = max(i for i, ln in enumerate(lines)
+                            if ln.lstrip().startswith("{"))
+                ms = json.loads("\n".join(lines[start:]))["step"]
+                batch_scaling[str(sweep_bs)] = round(sweep_bs / (ms / 1e3), 1)
+            else:
+                print(f"bench phase 5 (bs {sweep_bs}) failed rc="
+                      f"{proc.returncode}: {proc.stderr[-300:]}",
+                      file=_sys.stderr)
+        except Exception as e:
+            import sys as _sys
+            print(f"bench phase 5 (bs {sweep_bs}) skipped: {e!r}",
+                  file=_sys.stderr)
+    if batch_scaling:
+        other["batch_scaling_pairs_per_sec"] = batch_scaling
+        other["batch_scaling_note"] = (
+            "perf_probe full-step basis (~9% above the bench loop), rbg "
+            "PRNG; keyed by batch size")
+
     value = round(step_pairs_per_sec, 2)  # per chip; bench runs on one chip
     print(json.dumps({
         "metric": "train_qa_pairs_per_sec_per_chip",

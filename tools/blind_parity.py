@@ -8,13 +8,26 @@ trains the reference's REAL trainer classes (`GQA` from
 including mid-epoch evals at the 3 linspace points, the BEST save policy
 and log.log) and OUR XGGMTrainer on the SAME synthetic corpus for a full
 multi-epoch schedule - dropout ON, INDEPENDENT RNG (no replay), several
-seeds per side, both task orderings (GQA ggm-first delta=5, VQA-CP
-clean-first delta=0) - then compares the per-epoch train/valid accuracy
-curves distributionally.
+seeds per side, THREE arms:
 
-The corpus is made LEARNABLE (a +3.0 planted signal in the visual-feature
-column of each image's answer id) so accuracies move well off chance and
-the comparison captures learning DYNAMICS, not noise around a constant.
+  gqa      : full two-phase loop, ggm-first, delta=5 (both GGM branches)
+  vqa      : full two-phase loop, clean-first, delta=0 (rep branch only)
+  vqa_base : the reference's baseline entry point (vqacpv2_baseline.py:
+             67-339) - plain BCE, single param group, t_total=1x
+
+then compares the per-epoch train/valid accuracy curves distributionally.
+
+The corpus is made LEARNABLE two ways (a +3.0 planted signal in the
+visual-feature column of each image's answer id, and the answer word
+appended to the question text). In the vqa_base arm both implementations
+learn it to ~100% train accuracy inside the schedule - the learning-
+DYNAMICS comparison. In the full two-phase arms both implementations
+plateau near the answer prior at this toy scale: the GGM phase's clipped
+norm-5 score-matching updates (loss_sm dwarfs the BCE term at random
+init) perturb the shared encoder every batch, which only washes out at
+the real recipe's lr 5e-6 / pretrained init. That the plateau level and
+shape MATCH across implementations is itself the parity evidence for the
+full loop; the baseline arm supplies the converging-run evidence.
 
 Parity criterion (the same seed-noise-band discipline as
 tests/test_trajectory_parity.py::test_dropout_on_loss_envelope): for the
@@ -56,6 +69,9 @@ REF = os.environ.get("XGGM_REFERENCE_PATH", "/root/reference")
 # mid-epoch evals at iters 2/4/6, t_total = 2 * 8 * epochs)
 BS = 8
 LR = 1e-4
+HID, HEADS, INTER = 256, 4, 1024  # reduced width (entry.py's .dim property
+# and the modeling BertConfig are both patched/configured to it); every
+# layer type still runs at full depth-pattern 2/1/1
 N_TRAIN_Q = 64
 N_VALID_Q = 32
 N_IMAGES = 16
@@ -92,22 +108,36 @@ def make_corpus(workdir: str, task: str) -> str:
     from xggm_tpu.utils.io import load_json, save_json
 
     root = os.path.join(workdir, "data")
+    task = "vqa" if task == "vqa_base" else task  # same corpus as vqa
     mk = make_synthetic_gqa if task == "gqa" else make_synthetic_vqacp
     qdir = "gqa_ood" if task == "gqa" else "vqacpv2"
     fdir = "gqa_imgfeat" if task == "gqa" else "mscoco_imgfeat"
     qfile = "%s.json" if task == "gqa" else "%s_annotations.json"
+    # the VQA-CP eval split must be named dev_test: the reference opens
+    # the adjacency h5 only for train/dev_test (vqacpv2_data.py:77-80) but
+    # returns adj whenever the record has labels - any other labeled split
+    # name crashes its __getitem__ (our VQACPDataset mirrors the rule)
+    vsplit = "val" if task == "gqa" else "dev_test"
     mk(root, "train", n_images=N_IMAGES, n_questions=N_TRAIN_Q,
        feat_dim=2048, seed=0)
-    mk(root, "val", n_images=N_IMAGES, n_questions=N_VALID_Q,
+    mk(root, vsplit, n_images=N_IMAGES, n_questions=N_VALID_Q,
        feat_dim=2048, seed=1)
     write_vocab(os.path.join(root, "vocab.txt"))
-    for split, seed in (("train", 0), ("val", 1)):
+    for split, seed in (("train", 0), (vsplit, 1)):
         truth = _plant_signal(os.path.join(root, fdir), split,
                               len(ANSWERS), seed)
         qpath = os.path.join(root, qdir, qfile % split)
         qs = load_json(qpath)
         for q in qs:
-            aid = truth[q["img_id"]]
+            # vqacp annotations use 'image_id'/'question' field names
+            aid = truth[q.get("img_id") or q["image_id"]]
+            # the answer is inferable from BOTH modalities: the planted
+            # visual column and the answer word appended to the question
+            # (answers are vocab words; the pooled CLS sits two layers from
+            # the text) - so accuracies move decisively off chance within a
+            # few epochs and the curves compare learning dynamics
+            skey = "sent" if "sent" in q else "question"
+            q[skey] = q[skey] + " " + ANSWERS[aid]
             if task == "gqa":
                 q["label"] = {ANSWERS[aid]: 1.0}
             else:
@@ -126,13 +156,17 @@ def make_corpus(workdir: str, task: str) -> str:
 def run_reference(task: str, seed: int, workdir: str, epochs: int) -> dict:
     os.chdir(workdir)
     delta = "5" if task == "gqa" else "0"  # the shipped configs (§3.1/§3.2)
+    out_dir = os.path.join(workdir, f"ref_{task}_{seed}")
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)  # log.log appends per run
+    vsplit = "val" if task == "gqa" else "dev_test"
     sys.argv = [
-        "blind_parity", "--train", "train", "--valid", "val",
+        "blind_parity", "--train", "train", "--valid", vsplit,
         "--bs", str(BS), "--optim", "bert", "--lr", str(LR),
         "--epochs", str(epochs), "--seed", str(seed),
         "--tiny",  # stock DataLoader (prefetch_generator is not installed)
         "--tf_writer", "False", "--numWorkers", "0",
-        "--output", os.path.join(workdir, f"ref_{task}_{seed}"),
+        "--output", out_dir,
         "--llayers", DEPTH[0], "--xlayers", DEPTH[1], "--rlayers", DEPTH[2],
         "--gnn", "GCN", "--num_layer", "2", "--sigma", "1.0",
         "--delta", delta,
@@ -162,12 +196,34 @@ def run_reference(task: str, seed: int, workdir: str, epochs: int) -> dict:
 
     def local_from_pretrained(cls, name, *inputs, **kwargs):
         cfg = M.BertConfig(vocab_size_or_config_json_file=30522,
-                           hidden_size=768, num_hidden_layers=12,
-                           num_attention_heads=12, intermediate_size=3072)
+                           hidden_size=HID, num_hidden_layers=12,
+                           num_attention_heads=HEADS,
+                           intermediate_size=INTER)
         return cls(cfg, *inputs, **kwargs)
 
     M.LXRTFeatureExtraction.from_pretrained = classmethod(
         local_from_pretrained)
+    # the reference hardwires .dim = 768 (entry.py:108,188); the heads size
+    # off it, so point it at the reduced width
+    import lxrt.entry as E
+    E.LXRTEncoder.dim = property(lambda self: HID)
+    E.LXRTEncoderFeature.dim = property(lambda self: HID)
+    # ... and encoder_adj is a literal nn.Linear(768, 630)
+    # (gqa_ood_model.py:83-86 / vqacpv2_model.py) = hid->630 at the shipped
+    # width; rebuild it at the reduced hid after each model __init__
+    def _patch_adj(mod):
+        orig = mod.__init__
+
+        def patched(self, *a, **k):
+            orig(self, *a, **k)
+            self.encoder_adj = torch.nn.Sequential(
+                torch.nn.Linear(HID, 630), torch.nn.Sigmoid())
+        mod.__init__ = patched
+
+    import gqa.gqa_ood_model as GM
+    import vqa.vqacpv2_model as VM
+    _patch_adj(GM.GQAModel)
+    _patch_adj(VM.VQAModel)
 
     # fresh RNG per run: the reference seeds at param import from --seed
     # (src/param.py:123-137); re-seed here for belt and braces
@@ -179,6 +235,15 @@ def run_reference(task: str, seed: int, workdir: str, epochs: int) -> dict:
     if task == "gqa":
         from gqa.gqa_ood import GQA
         trainer = GQA()
+    elif task == "vqa_base":
+        # the reference's OTHER training entry point: plain-BCE baseline
+        # (vqacpv2_baseline.py:67-339) - no GGM phase, single param group,
+        # t_total = 1x steps. This arm is the LEARNING-dynamics comparison:
+        # without the GGM phase's clipped norm-5 score-matching updates
+        # continually perturbing the shared encoder, the planted signal is
+        # learned to high train accuracy within the schedule.
+        from vqa.vqacpv2_baseline import VQA
+        trainer = VQA()
     else:
         from vqa.vqacpv2 import VQA
         trainer = VQA()
@@ -215,13 +280,16 @@ def run_ours(task: str, seed: int, workdir: str, epochs: int) -> dict:
     enable_compilation_cache(os.path.join(REPO, "tests", ".jax_cache"))
 
     from xggm_tpu.config import (
-        DataConfig, GGMConfig, LxmertConfig, TrainConfig, VisualConfig,
-        XGGMConfig)
+        BertConfig, DataConfig, GGMConfig, LxmertConfig, TrainConfig,
+        VisualConfig, XGGMConfig)
     from xggm_tpu.training.trainer import XGGMTrainer
 
     delta = 5 if task == "gqa" else 0
+    base = task == "vqa_base"
     cfg = XGGMConfig(
         lxmert=LxmertConfig(
+            bert=BertConfig(hidden_size=HID, num_attention_heads=HEADS,
+                            intermediate_size=INTER),
             visual=VisualConfig(l_layers=int(DEPTH[0]),
                                 x_layers=int(DEPTH[1]),
                                 r_layers=int(DEPTH[2])),
@@ -229,14 +297,24 @@ def run_ours(task: str, seed: int, workdir: str, epochs: int) -> dict:
         ggm=GGMConfig(gnn="GCN", num_layers=2, sigma=1.0, delta=delta),
         train=TrainConfig(batch_size=BS, optim="bert", lr=LR,
                           epochs=epochs, seed=seed,
-                          clean_phase_first=(task == "vqa"),
-                          rel_d_mult=8.0 if task == "vqa" else 12.0),
-        data=DataConfig(train="train", valid="val",
+                          clean_phase_first=(task != "gqa"),
+                          rel_d_mult=12.0 if task == "gqa" else 8.0,
+                          # baseline: single group, t_total = 1x steps
+                          # (reference vqacpv2_baseline.py:112,126-129)
+                          downstream_lr_mult=1.0 if base else 4.0,
+                          t_total_mult=1.0 if base else 2.0),
+        data=DataConfig(train="train",
+                        valid="val" if task == "gqa" else "dev_test",
                         data_root=os.path.join(workdir, "data")),
         output=os.path.join(workdir, f"ours_{task}_{seed}"),
     )
-    trainer = XGGMTrainer(cfg, task=task)
-    trainer.train()
+    import shutil
+    shutil.rmtree(cfg.output, ignore_errors=True)  # log.log appends per run
+    trainer = XGGMTrainer(cfg, task="vqa" if base else task)
+    if base:
+        trainer.train_baseline()
+    else:
+        trainer.train()
     return _parse_log(os.path.join(cfg.output, "log.log"))
 
 
@@ -353,8 +431,8 @@ def main():
     p.add_argument("--task", default="gqa")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--seeds", type=int, default=4)
-    p.add_argument("--epochs", type=int, default=3)
-    p.add_argument("--tasks", default="gqa,vqa")
+    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--tasks", default="gqa,vqa,vqa_base")
     p.add_argument("--workdir", default=None)
     p.add_argument("--report", default=os.path.join(REPO, "docs",
                                                     "BLIND_PARITY.md"))

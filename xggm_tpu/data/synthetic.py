@@ -26,6 +26,9 @@ def write_vocab(path: str) -> List[str]:
     """Minimal BERT-style WordPiece vocab covering the synthetic questions."""
     tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + WORDS + [
         "##s", "##er", "?", ".", ","]
+    # answer words appended AFTER the original table so existing token ids
+    # stay stable; tools/blind_parity.py plants answers in question text
+    tokens += [a for a in ANSWERS if a not in tokens]
     with open(path, "w") as f:
         f.write("\n".join(tokens) + "\n")
     return tokens
