@@ -35,11 +35,14 @@ final epoch's train and valid accuracy, |mean_ref - mean_ours| must be
 within 4 combined standard errors; earlier epochs are reported and checked
 at the same bound (the curves must envelope-match, not just the endpoint).
 
-Reference depth is reduced to 2/1/1 (hidden stays 768 - the reference
-GQAModel hardwires it) and weights are randomly initialized on both sides
-(same init scales: BERT normal(0.02) / torch-default heads vs our
-matching initializers) - the comparison is distribution-vs-distribution
-over seeds, which is exactly what "blind" means here.
+Reference depth is reduced to 2/1/1 and width to 256 (the reference
+hardwires hid 768 in two places - entry.py's .dim property and the
+encoder_adj Linear - both patched below) and weights are randomly
+initialized on both sides from MATCHING distributions: BERT normal(0.02)
+for the encoder + logit_fc (init_bert_weights on both sides), torch
+nn.Linear defaults for the GGM heads (ops.basic.TorchLinear on ours).
+The comparison is distribution-vs-distribution over seeds, which is
+exactly what "blind" means here.
 
 Usage:
   python tools/blind_parity.py [--seeds 4] [--epochs 3] [--tasks gqa,vqa]

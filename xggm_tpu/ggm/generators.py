@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xggm_tpu.ggm.gnn import GCN, GIN, GAT, LinearGeluLn
-from xggm_tpu.ops.basic import dense
+from xggm_tpu.ops.basic import dense, torch_dense
 
 Array = jax.Array
 
@@ -107,7 +107,7 @@ class GATGenerator(nn.Module):
                     dropout=self.dropout, dtype=self.dtype,
                     name=f"gnn_{i}")(x, adj, deterministic)
             if not self.faithful_cat:
-                x = dense(self.hidden_dim, self.dtype, name=f"merge_{i}")(x)
+                x = torch_dense(self.hidden_dim, self.dtype, name=f"merge_{i}")(x)
             adj = recompute_adjacency(x.astype(jnp.float32)).astype(adj.dtype)
         return x, adj
 
@@ -165,7 +165,7 @@ class Discriminator(nn.Module):
     def __call__(self, x: Array) -> Array:
         x = x.reshape(x.shape[0], -1)
         h = LinearGeluLn(512, self.dtype, name="fc1")(x)
-        return dense(1, self.dtype, name="fc2")(h)
+        return torch_dense(1, self.dtype, name="fc2")(h)
 
 
 class DiscriminatorV2(nn.Module):
@@ -177,9 +177,9 @@ class DiscriminatorV2(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = x.reshape(x.shape[0], -1)
-        h = nn.leaky_relu(dense(512, self.dtype, name="fc1")(x), 0.2)
-        h = nn.leaky_relu(dense(256, self.dtype, name="fc2")(h), 0.2)
-        return dense(1, self.dtype, name="fc3")(h)
+        h = nn.leaky_relu(torch_dense(512, self.dtype, name="fc1")(x), 0.2)
+        h = nn.leaky_relu(torch_dense(256, self.dtype, name="fc2")(h), 0.2)
+        return torch_dense(1, self.dtype, name="fc3")(h)
 
 
 def make_generator(gnn: str, hidden_dim: int, n_layers: int,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xggm_tpu.ops.basic import gelu, dense
+from xggm_tpu.ops.basic import gelu, dense, torch_dense
 
 Array = jax.Array
 
@@ -61,7 +61,9 @@ class LinearGeluLn(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = dense(self.features, self.dtype, name="fc")(x)
+        # torch-default init: the reference's GGM linears are plain
+        # nn.Linear (no init_bert_weights; see ops.basic.TorchLinear)
+        x = torch_dense(self.features, self.dtype, name="fc")(x)
         return TorchLayerNorm(name="ln")(gelu(x))
 
 
@@ -76,8 +78,8 @@ class GCNConv(nn.Module):
     def __call__(self, x: Array, adj: Array, deterministic: bool = True) -> Array:
         msg = jnp.einsum("bij,bjd->bid", adj.astype(self.dtype), x,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        h = dense(self.features, self.dtype, name="ctx_layer",
-                  use_bias=False)(msg)
+        h = torch_dense(self.features, self.dtype, name="ctx_layer",
+                        use_bias=False)(msg)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return TorchLayerNorm(name="layer_norm")(x + h)
 

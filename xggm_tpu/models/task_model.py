@@ -28,6 +28,7 @@ from xggm_tpu.ggm.generators import make_generator
 from xggm_tpu.models.lxmert import (
     LxmertModel, AnswerHead, gelu, dense,
 )
+from xggm_tpu.ops.basic import torch_dense
 
 Array = jax.Array
 
@@ -59,7 +60,9 @@ class NodeFC(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = dense(self.features, self.dtype, name="fc")(x)
+        # torch-default init (reference node_fc/fusion_fc are plain
+        # nn.Linear, gqa_ood_model.py:88-92,108-112)
+        x = torch_dense(self.features, self.dtype, name="fc")(x)
         return TorchLayerNorm(name="ln")(gelu(x))
 
 
@@ -78,7 +81,8 @@ class XGGMModel(nn.Module):
         self.generator = make_generator(
             self.ggm.gnn, hid, self.ggm.num_layers, self.ggm.dropout, dt,
             self.ggm.gat_heads)
-        self.encoder_adj_fc = dense(NUM_TRIU_EDGES, dt, name="encoder_adj")
+        self.encoder_adj_fc = torch_dense(NUM_TRIU_EDGES, dt,
+                                  name="encoder_adj")
         self.node_fc = NodeFC(hid, dt, name="node_fc")
         self.fusion_fc = NodeFC(hid, dt, name="fusion_fc")
 
