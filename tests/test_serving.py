@@ -308,8 +308,15 @@ def test_int8_accuracy_through_official_eval(tmp_path):
     from xggm_tpu.training.bert_adam import bert_adam
     from xggm_tpu.training.steps import (TrainState, make_clean_train_step)
 
+    import dataclasses
+
     root = bp.make_corpus(str(tmp_path), "gqa")
     cfg = tiny_test_config()
+    # the blind-parity corpus ships real-width 2048-d features; the config
+    # must agree (export_model sizes the example inputs from it)
+    cfg = cfg.replace(lxmert=cfg.lxmert.replace(
+        visual=dataclasses.replace(cfg.lxmert.visual,
+                                   visual_feat_dim=2048)))
     dset = GQADataset("train", DataConfig(data_root=root))
     tok = BertTokenizer.from_file(os.path.join(root, "vocab.txt"))
     gbd = GraphBatchDataset(dset, tok)
@@ -378,6 +385,8 @@ def test_int8_accuracy_through_official_eval(tmp_path):
 
     # the model learned the task (meaningful margins for the delta to act
     # on), and int8 PTQ costs at most 2 accuracy points end-to-end
+    print(f"official-eval accuracy fp32={acc['fp32']:.2f} "
+          f"int8={acc['int8']:.2f} delta={acc['fp32'] - acc['int8']:.2f}")
     assert acc["fp32"] > 60.0, acc
     delta = acc["fp32"] - acc["int8"]
     assert abs(delta) <= 2.0, acc
