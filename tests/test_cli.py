@@ -20,10 +20,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_cli(module, argv, cwd, extra_env=None):
+def _run_cli(module, argv, cwd, extra_env=None, timeout=1500):
     proc = subprocess.run(
         [sys.executable, "-m", module] + argv,
-        cwd=REPO, capture_output=True, text=True, timeout=1500,
+        cwd=REPO, capture_output=True, text=True, timeout=timeout,
         env={**os.environ, "JAX_COMPILATION_CACHE_DIR":
              os.path.join(REPO, "tests", ".jax_cache"),
              **(extra_env or {})})
@@ -174,7 +174,12 @@ def test_pp_cli_end_to_end(tmp_path):
     """--pp through the real CLI: the lang->visn->x encoder runs as a GPipe
     pipeline over the mesh's 'pipe' axis (parallel/pipeline_lxmert.py),
     composed with data parallelism on the ONE ('data','model','pipe') mesh.
-    8 virtual CPU devices -> data=4 x pipe=2."""
+    4 virtual CPU devices -> data=2 x pipe=2: XLA:CPU's in-process
+    collective rendezvous has a HARD 40 s deadline per device thread, and
+    8 device threads on this one-core host can starve past it when the
+    suite runs concurrently (observed: rendezvous.cc termination in the
+    full-suite run while the same test passed standalone) - 4 threads
+    keep comfortably inside it."""
     data_root = str(tmp_path / "data")
     output = str(tmp_path / "snap_pp")
     out = _run_cli("xggm_tpu.cli.gqa_ood", [
@@ -185,7 +190,8 @@ def test_pp_cli_end_to_end(tmp_path):
         "--gnn", "GCN", "--num_layer", "1",
         "--train", "train", "--valid", "val",
         "--bs", "16", "--optim", "bert", "--lr", "5e-5", "--epochs", "1"],
-        cwd=REPO, extra_env={"XLA_FLAGS":
-                             "--xla_force_host_platform_device_count=8"})
+        cwd=REPO, timeout=2700,
+        extra_env={"XLA_FLAGS":
+                   "--xla_force_host_platform_device_count=4"})
     assert "Best valid:" in out
     assert any(f.startswith("BEST") for f in os.listdir(output))
